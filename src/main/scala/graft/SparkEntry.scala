@@ -1,13 +1,196 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.GeoCols
+import graft.geo.Fixtures
+import graft.operators.{Knn, SpatialJoin}
+
+/** Driver contract — every operator from SURVEY.md §2 that is implemented has
+  * a `queries` entry, and a DuckDB-runnable `oracleSql` twin where ANSI SQL
+  * can express it. Geometry is derived deterministically from lineitem keys
+  * (GeoCols.pointsSql) so both engines compute identical coordinates.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def li(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
+  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  private def ev(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
+
+  private def pts(s: SparkSession, dir: String) = GeoCols.derivedPoints(s, dir)
+
+  /** Flagship: custom-polygon extract + region assignment + tile pyramid on
+    * sf0.001 (the reference's POST /v1/snapshot/ shape, SURVEY.md §3.1). */
+  def entry(spark: SparkSession): DataFrame = {
+    val p = pts(spark, "/root/testdata/sf0.001")
+      .filter(GeoCols.pipCol(Fixtures.requestPolygon, col("lon"), col("lat")))
+    val assigned = SpatialJoin.assignRegions(spark, p)
+    SpatialJoin.tileAssign(p, 2, 6)
+      .join(assigned, Seq("pid"))
+  }
+
+  // ---- query implementations -------------------------------------------
+
+  /** A-ops: partial+final hash agg (reference array_agg/stat shapes, A1-A3). */
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+
+  /** Join shape (broadcast dim × fact; reference has only spatial/key joins,
+    * this anchors equi-join correctness for the engine's staging layer S3). */
+  private def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+    val ord = s.read.parquet(s"$dir/orders.parquet")
+    li(s, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** F3 bbox filter (ST_MakeEnvelope analogue, builder.py:744-751). */
+  private def geoBbox(s: SparkSession, dir: String): DataFrame = {
+    val b = Fixtures.requestBBox
+    pts(s, dir).filter(
+      col("lon") >= b.minLon && col("lon") <= b.maxLon &&
+        col("lat") >= b.minLat && col("lat") <= b.maxLat)
+  }
+
+  /** F1/F2 custom-polygon extract (ST_Intersects/ST_Within on points). */
+  private def geoPip(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .filter(GeoCols.pipCol(Fixtures.requestPolygon, col("lon"), col("lat")))
+      .select(col("pid"))
+
+  /** Cell assignment at res 8 (the `grid` column analogue, raw.lua / F9). */
+  private def geoCell(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir).select(col("pid"),
+      GeoCols.cellCol(8, col("lon"), col("lat")).as("cell"))
+
+  /** A3 analogue: per-cell stats (Kontur H3-res-8 aggregates, builder.py:802-842). */
+  private def geoCellStats(s: SparkSession, dir: String): DataFrame =
+    geoCell(s, dir).groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+
+  /** J2/A1 flagship: region (country) assignment spatial join. */
+  private def geoRegionJoin(s: SparkSession, dir: String): DataFrame =
+    SpatialJoin.assignRegions(s, pts(s, dir))
+
+  /** S7/T3: tile-pyramid assignment z∈[2,4]. */
+  private def geoTile(s: SparkSession, dir: String): DataFrame =
+    SpatialJoin.tileAssign(pts(s, dir), 2, 4)
+
+  /** J5/W4: exact kNN, ring expansion + haversine refine. */
+  private def geoKnn(s: SparkSession, dir: String): DataFrame =
+    Knn.knn(s, pts(s, dir), Fixtures.knnQueries, k = 8)
+
+  /** P3: CSV projection — centroid lon/lat + geometry type (builder.py:152-155). */
+  private def geoCsvProj(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir).select(col("pid"),
+      col("lon").as("longitude"), col("lat").as("latitude"),
+      lit("POINT").as("geom_type"))
+
+  /** W2-ish window ops: row_number + running sum per user over events. */
+  private def w1Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, dir).select(
+      col("event_id"), col("user_id"),
+      row_number().over(w).as("rn"),
+      round(sum(col("value")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running"))
+  }
+
+  /** U1/U2: union-distinct id probe across tables (builder.py:780-799). */
+  private def u2Union(s: SparkSession, dir: String): DataFrame = {
+    val a = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("id"), lit("orders").as("src"))
+    val b = li(s, dir).select(col("l_orderkey").as("id"), lit("lineitem").as("src"))
+    a.unionByName(b).distinct()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, d) => q1Agg(s, d)),
+    "q3_join" -> ((s, d) => q3Join(s, d)),
+    "geo_bbox" -> ((s, d) => geoBbox(s, d)),
+    "geo_pip" -> ((s, d) => geoPip(s, d)),
+    "geo_cell" -> ((s, d) => geoCell(s, d)),
+    "geo_cell_stats" -> ((s, d) => geoCellStats(s, d)),
+    "geo_region_join" -> ((s, d) => geoRegionJoin(s, d)),
+    "geo_tile" -> ((s, d) => geoTile(s, d)),
+    "geo_knn" -> ((s, d) => geoKnn(s, d)),
+    "geo_csv_proj" -> ((s, d) => geoCsvProj(s, d)),
+    "w1_window" -> ((s, d) => w1Window(s, d)),
+    "u2_union" -> ((s, d) => u2Union(s, d)),
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val P = GeoCols.pointsSql
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_price,
+        |  ROUND(AVG(l_discount), 6) AS avg_disc,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT c_mktsegment,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  COUNT(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "geo_bbox" -> {
+      val b = Fixtures.requestBBox
+      s"""WITH pts AS ($P)
+         |SELECT pid, lon, lat FROM pts
+         |WHERE lon >= ${b.minLon} AND lon <= ${b.maxLon}
+         |  AND lat >= ${b.minLat} AND lat <= ${b.maxLat}""".stripMargin
+    },
+    "geo_pip" ->
+      s"""WITH pts AS ($P)
+         |SELECT pid FROM pts
+         |WHERE ${GeoCols.pipSql(Fixtures.requestPolygon, "lon", "lat")}""".stripMargin,
+    "geo_cell" ->
+      s"""WITH pts AS ($P),
+         |cxy AS (SELECT pid,
+         |  ${GeoCols.cellXSql(8, "lon")} AS cx,
+         |  ${GeoCols.cellYSql(8, "lat")} AS cy FROM pts)
+         |SELECT pid, ((${GeoCols.mortonSql(8, "cx", "cy")} << 5) + 8) AS cell
+         |FROM cxy""".stripMargin,
+    "geo_cell_stats" ->
+      s"""WITH pts AS ($P),
+         |cxy AS (SELECT pid,
+         |  ${GeoCols.cellXSql(8, "lon")} AS cx,
+         |  ${GeoCols.cellYSql(8, "lat")} AS cy FROM pts)
+         |SELECT ((${GeoCols.mortonSql(8, "cx", "cy")} << 5) + 8) AS cell,
+         |  COUNT(*) AS cnt
+         |FROM cxy GROUP BY 1""".stripMargin,
+    "geo_region_join" -> SpatialJoin.assignRegionsOracleSql(),
+    "geo_tile" -> SpatialJoin.tileAssignOracleSql(2, 4),
+    "geo_knn" -> Knn.knnOracleSql(Fixtures.knnQueries, 8),
+    "geo_csv_proj" ->
+      s"""WITH pts AS ($P)
+         |SELECT pid, lon AS longitude, lat AS latitude, 'POINT' AS geom_type
+         |FROM pts""".stripMargin,
+    "w1_window" ->
+      """SELECT event_id, user_id,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM events""".stripMargin,
+    "u2_union" ->
+      """SELECT DISTINCT * FROM (
+        |  SELECT o_orderkey AS id, 'orders' AS src FROM orders
+        |  UNION ALL
+        |  SELECT l_orderkey AS id, 'lineitem' AS src FROM lineitem)""".stripMargin,
+  )
 }

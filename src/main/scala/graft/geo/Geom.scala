@@ -1,0 +1,153 @@
+package graft.geo
+
+/** Minimal immutable geometry model (EPSG:4326 lon/lat degrees).
+  *
+  * The reference stores PostGIS geometries (SRID 4326, backend/raw.lua:25) and
+  * evaluates ST_Intersects / ST_Within / ST_Centroid / ST_Area server-side
+  * (src/query_builder/builder.py:98-102, :157, :67). We own the equivalent
+  * kernel in pure Scala: no JTS/GEOS on the classpath, and the hot paths are
+  * re-expressed as Catalyst Column expressions (see graft.functions.GeoCols),
+  * with this kernel as the driver-side / oracle implementation.
+  */
+final case class Pt(lon: Double, lat: Double)
+
+/** Closed ring; vertices in order, NOT repeating the first point at the end. */
+final case class Ring(pts: Array[Pt]) {
+  def size: Int = pts.length
+}
+
+/** Polygon = outer shell + holes (reference accepts GeoJSON Polygon /
+  * MultiPolygon request geometry, src/validation/models.py:124-146). */
+final case class Polygon(shell: Ring, holes: Seq[Ring] = Nil) {
+  lazy val bbox: BBox = BBox.of(shell.pts)
+}
+
+final case class MultiPolygon(polys: Seq[Polygon]) {
+  lazy val bbox: BBox =
+    polys.map(_.bbox).reduce((a, b) => BBox(
+      math.min(a.minLon, b.minLon), math.min(a.minLat, b.minLat),
+      math.max(a.maxLon, b.maxLon), math.max(a.maxLat, b.maxLat)))
+  def contains(lon: Double, lat: Double): Boolean =
+    polys.exists(p => Geo.pointInPolygon(lon, lat, p))
+}
+
+final case class BBox(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double) {
+  def contains(lon: Double, lat: Double): Boolean =
+    lon >= minLon && lon <= maxLon && lat >= minLat && lat <= maxLat
+  def intersects(o: BBox): Boolean =
+    !(o.minLon > maxLon || o.maxLon < minLon || o.minLat > maxLat || o.maxLat < minLat)
+}
+
+object BBox {
+  def of(pts: Array[Pt]): BBox = {
+    var (mnx, mny, mxx, mxy) = (Double.MaxValue, Double.MaxValue, Double.MinValue, Double.MinValue)
+    var i = 0
+    while (i < pts.length) {
+      val p = pts(i)
+      if (p.lon < mnx) mnx = p.lon
+      if (p.lon > mxx) mxx = p.lon
+      if (p.lat < mny) mny = p.lat
+      if (p.lat > mxy) mxy = p.lat
+      i += 1
+    }
+    BBox(mnx, mny, mxx, mxy)
+  }
+}
+
+object Geo {
+  val EarthRadiusM: Double = 6371008.8 // mean earth radius, IUGG
+
+  /** Ray-cast point-in-ring. Even-odd rule; points exactly on a vertical-cross
+    * edge count per the half-open rule (lat1 > lat) != (lat2 > lat), matching
+    * the SQL oracle emitted by graft.functions.GeoCols.pipSql so Spark result
+    * and DuckDB oracle agree bit-for-bit on boundary cases. */
+  def pointInRing(lon: Double, lat: Double, ring: Ring): Boolean = {
+    val pts = ring.pts
+    val n = pts.length
+    var inside = false
+    var j = n - 1
+    var i = 0
+    while (i < n) {
+      val yi = pts(i).lat; val yj = pts(j).lat
+      val xi = pts(i).lon; val xj = pts(j).lon
+      if ((yi > lat) != (yj > lat) &&
+          lon < (xj - xi) * (lat - yi) / (yj - yi) + xi) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  def pointInPolygon(lon: Double, lat: Double, poly: Polygon): Boolean = {
+    if (!poly.bbox.contains(lon, lat)) return false
+    if (!pointInRing(lon, lat, poly.shell)) return false
+    !poly.holes.exists(h => pointInRing(lon, lat, h))
+  }
+
+  /** Great-circle distance in meters (haversine). */
+  def haversineMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.sin(dLon / 2) * math.sin(dLon / 2)
+    2 * EarthRadiusM * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  /** Planar shoelace area of a ring in deg^2 (sign = orientation). */
+  def ringAreaDeg2(ring: Ring): Double = {
+    val pts = ring.pts
+    var s = 0.0
+    var j = pts.length - 1
+    var i = 0
+    while (i < pts.length) {
+      s += (pts(j).lon + pts(i).lon) * (pts(j).lat - pts(i).lat)
+      j = i; i += 1
+    }
+    s / 2.0
+  }
+
+  /** Geodesic (spherical-excess style, l'Huilier-lite) polygon area in km².
+    * Matches the reference's geodesic area guard role
+    * (API/raw_data.py:421-432 uses the `area` python lib). */
+  def geodesicAreaKm2(poly: Polygon): Double = {
+    def ringArea(ring: Ring): Double = {
+      val pts = ring.pts
+      var total = 0.0
+      val n = pts.length
+      var i = 0
+      while (i < n) {
+        val p1 = pts(i); val p2 = pts((i + 1) % n)
+        total += math.toRadians(p2.lon - p1.lon) *
+          (2 + math.sin(math.toRadians(p1.lat)) + math.sin(math.toRadians(p2.lat)))
+        i += 1
+      }
+      math.abs(total * EarthRadiusM * EarthRadiusM / 2.0) / 1e6
+    }
+    ringArea(poly.shell) - poly.holes.map(ringArea).sum
+  }
+
+  /** Centroid of a polygon (planar, shoelace-weighted); for a point input the
+    * reference's ST_Centroid is identity (builder.py:157). */
+  def centroid(poly: Polygon): Pt = {
+    val pts = poly.shell.pts
+    var cx = 0.0; var cy = 0.0; var a = 0.0
+    var j = pts.length - 1
+    var i = 0
+    while (i < pts.length) {
+      val cross = pts(j).lon * pts(i).lat - pts(i).lon * pts(j).lat
+      cx += (pts(j).lon + pts(i).lon) * cross
+      cy += (pts(j).lat + pts(i).lat) * cross
+      a += cross
+      j = i; i += 1
+    }
+    if (math.abs(a) < 1e-12) {
+      // degenerate: average of vertices
+      Pt(pts.map(_.lon).sum / pts.length, pts.map(_.lat).sum / pts.length)
+    } else Pt(cx / (3 * a), cy / (3 * a))
+  }
+
+  /** Quantize a coordinate to a grid (reference's ST_SnapToGrid(geom, 1e-5)
+    * exact-country probe, builder.py:73-82). */
+  def snap(v: Double, grid: Double = 1e-5): Double = math.rint(v / grid) * grid
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geo.{Cell, Fixtures, Polygon}
+import graft.functions.GeoCols
+
+/** Cell-bucketed broadcast spatial join: assign each point the sorted id list
+  * of the region polygons containing it.
+  *
+  * Re-expresses the reference's batch country-assignment join
+  * (backend/field_update:168-214: centroids LEFT JOIN countries ON
+  * ST_Intersects → array_agg(cid), empty → ARRAY[0], written back per osm_id;
+  * backend/sql/update_countries.sql:1) Spark-first:
+  *
+  *  - the dimension side (region polygons) is exploded driver-side into its
+  *    covering cells at `res` via [[Cell.cover]]; cells fully inside a polygon
+  *    carry `refine = false` and skip the exact point-in-polygon test — the
+  *    analogue of the reference's GIST index recheck-elision;
+  *  - the cover table (|regions| × ~hundreds of cells) is tiny → broadcast
+  *    hash join, NO shuffle on the fact side — at 10^12 rows the only shuffle
+  *    left is the final per-point aggregation, which map-side-combines to
+  *    ≤1 row per point;
+  *  - the exact refine is a codegen'd CASE chain of pure-Column raycasts
+  *    ([[GeoCols.pipCol]]), not a UDF — the whole join stage is one
+  *    WholeStageCodegen span over the scan;
+  *  - skew: a dense cell only multiplies a fact row by the number of regions
+  *    covering that cell (bounded by the catalog, not the data), so the
+  *    broadcast shape is skew-immune; the groupBy key (point id) is unique →
+  *    no hot reducer. This is why we broadcast the *cover*, not shuffle on
+  *    cell ids as the naive plan would.
+  */
+object SpatialJoin {
+
+  /** Build the broadcastable cover table: one row per (cell, cid, refine). */
+  def coverRows(regions: Seq[Fixtures.Region], res: Int): Seq[(Long, Int, Boolean)] =
+    regions.flatMap { r =>
+      val (full, part) = Cell.cover(r.poly, res)
+      full.toSeq.map(c => (c, r.cid, false)) ++ part.toSeq.map(c => (c, r.cid, true))
+    }
+
+  /** Codegen'd exact-refine predicate: CASE over region ids → per-region
+    * raycast on literal polygon coordinates. */
+  def pipChain(regions: Seq[Fixtures.Region], lon: Column, lat: Column): Column =
+    regions.foldLeft(lit(false)) { (acc, r) =>
+      when(col("cid") === lit(r.cid), GeoCols.pipCol(r.poly, lon, lat)).otherwise(acc)
+    }
+
+  /** points: (pid: Long, lon: Double, lat: Double) → (pid, cids: String)
+    * where cids = comma-joined ascending region ids, "0" when none
+    * (reference default `'{0}'`, backend/sql/pre_indexes.sql). */
+  def assignRegions(
+      spark: SparkSession,
+      points: DataFrame,
+      regions: Seq[Fixtures.Region] = Fixtures.regions,
+      res: Int = 7): DataFrame = {
+    import spark.implicits._
+    val cover = coverRows(regions, res).toDF("cell", "cid", "refine")
+    val withCell = points.withColumn("cell", GeoCols.cellCol(res, col("lon"), col("lat")))
+    val joined = withCell.join(broadcast(cover), Seq("cell"), "left")
+    val matched = !col("refine") || pipChain(regions, col("lon"), col("lat"))
+    joined
+      .withColumn("cid_ok", when(col("cid").isNotNull && matched, col("cid")))
+      .groupBy(col("pid"))
+      .agg(sort_array(collect_set(col("cid_ok"))).as("cid_arr"))
+      .select(
+        col("pid"),
+        when(size(col("cid_arr")) === 0, lit("0"))
+          .otherwise(array_join(col("cid_arr"), ",")).as("cids"))
+  }
+
+  /** DuckDB oracle for [[assignRegions]] — brute-force per-region raycast
+    * union (the reference's un-indexed join semantics), same literal
+    * coordinates. */
+  def assignRegionsOracleSql(regions: Seq[Fixtures.Region] = Fixtures.regions): String = {
+    val branches = regions.map { r =>
+      s"SELECT pid, ${r.cid} AS cid FROM pts WHERE ${GeoCols.pipSql(r.poly, "lon", "lat")}"
+    }.mkString(" UNION ALL ")
+    s"""WITH pts AS (${GeoCols.pointsSql}),
+       |m AS ($branches),
+       |agg AS (SELECT pid, array_to_string(list_sort(list_distinct(array_agg(cid))), ',') AS c
+       |        FROM m GROUP BY pid)
+       |SELECT p.pid AS pid, COALESCE(agg.c, '0') AS cids
+       |FROM pts p LEFT JOIN agg ON p.pid = agg.pid""".stripMargin
+  }
+
+  /** Tile-pyramid assignment (tippecanoe analogue, app.py:690-698): one output
+    * row per (point, zoom) with its Web-Mercator tile — the write side would
+    * `partitionBy("z", "tx", "ty")`. Explode is a zero-shuffle narrow op. */
+  def tileAssign(points: DataFrame, minZ: Int, maxZ: Int): DataFrame = {
+    val perZ = (minZ to maxZ).map { z =>
+      struct(lit(z).as("z"),
+        GeoCols.tileXCol(z, col("lon")).as("tx"),
+        GeoCols.tileYCol(z, col("lat")).as("ty"))
+    }
+    points.select(col("pid"), explode(array(perZ: _*)).as("t"))
+      .select(col("pid"), col("t.z").as("z"), col("t.tx").as("tx"), col("t.ty").as("ty"))
+  }
+
+  def tileAssignOracleSql(minZ: Int, maxZ: Int): String = {
+    val branches = (minZ to maxZ).map { z =>
+      s"SELECT pid, $z AS z, ${GeoCols.tileXSql(z, "lon")} AS tx, ${GeoCols.tileYSql(z, "lat")} AS ty FROM pts"
+    }.mkString(" UNION ALL ")
+    s"WITH pts AS (${GeoCols.pointsSql}) $branches"
+  }
+}
