@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.GeoCols
 import graft.geo.Fixtures
-import graft.operators.{Knn, SpatialJoin}
+import graft.operators.{Dedup, Knn, Similarity, SpatialJoin, TextOps}
 
 /** Driver contract — every operator from SURVEY.md §2 that is implemented has
   * a `queries` entry, and a DuckDB-runnable `oracleSql` twin where ANSI SQL
@@ -114,7 +114,55 @@ object SparkEntry {
     a.unionByName(b).distinct()
   }
 
+  /** F4/F7 join_or tag filter: token-set membership plays the reference's
+    * tags->>'k' map semantics (builder.py:166-226). */
+  private def tagOr(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokensCol(col("text"))
+    docs(s, dir)
+      .filter(array_contains(toks, "spark") || array_contains(toks, "hash"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** F7 join_and combinator. */
+  private def tagAnd(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokensCol(col("text"))
+    docs(s, dir)
+      .filter(array_contains(toks, "spark") && array_contains(toks, "join"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** P2 dynamic attribute projection over a jsonb-style column: events.props
+    * ->> 'k' (the reference's tags ->> 'key' AS key, builder.py:148). */
+  private def attrJson(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).select(col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_attr"))
+
+  /** R2-style batch time-window aggregation (streaming-as-batch: 5-minute
+    * tumbling windows over events). */
+  private def timeWindow(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select((unix_millis(col("ts").cast("timestamp")) / lit(300000L)).cast("long").as("bucket"),
+        col("event_type"), col("value"))
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tag_or" -> ((s, d) => tagOr(s, d)),
+    "tag_and" -> ((s, d) => tagAnd(s, d)),
+    "attr_json" -> ((s, d) => attrJson(s, d)),
+    "time_window" -> ((s, d) => timeWindow(s, d)),
+    "token_count" -> ((s, d) => TextOps.tokenCount(docs(s, d))),
+    "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
+    "lang_id" -> ((s, d) => TextOps.langId(docs(s, d))),
+    "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
+    "dedup_exact" -> ((s, d) => TextOps.dedupExact(docs(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    "dedup_jaccard" -> ((s, d) => Dedup.jaccardAdjacent(docs(s, d))),
+    "ann_cosine" -> ((s, d) => Similarity.annBrute(
+      s.read.parquet(s"$d/embeddings.parquet"))),
+    "embed_neardup_lsh" -> ((s, d) => Similarity.nearDupLsh(
+      s.read.parquet(s"$d/embeddings.parquet"), tau = 0.3)),
     "q1_agg" -> ((s, d) => q1Agg(s, d)),
     "q3_join" -> ((s, d) => q3Join(s, d)),
     "geo_bbox" -> ((s, d) => geoBbox(s, d)),
@@ -134,6 +182,30 @@ object SparkEntry {
   private val P = GeoCols.pointsSql
 
   def oracleSql: Map[String, String] = Map(
+    "tag_or" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE list_contains(${TextOps.tokensSql}, 'spark')
+         |   OR list_contains(${TextOps.tokensSql}, 'hash')""".stripMargin,
+    "tag_and" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE list_contains(${TextOps.tokensSql}, 'spark')
+         |  AND list_contains(${TextOps.tokensSql}, 'join')""".stripMargin,
+    "attr_json" ->
+      "SELECT event_id, props->>'k' AS k_attr FROM events",
+    "time_window" ->
+      """SELECT epoch_ms(ts) // 300000 AS bucket, event_type,
+        |  COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "token_count" -> TextOps.tokenCountSql,
+    "text_quality" -> TextOps.qualitySql,
+    "lang_id" -> TextOps.langIdSql,
+    "doc_fingerprint" -> TextOps.fingerprintSql,
+    "dedup_exact" -> TextOps.dedupExactSql,
+    "dedup_minhash_lsh" -> Dedup.minhashLshSql(),
+    "dedup_simhash" -> Dedup.simhashSql,
+    "dedup_jaccard" -> Dedup.jaccardAdjacentSql,
+    "ann_cosine" -> Similarity.annBruteSql(),
+    "embed_neardup_lsh" -> Similarity.nearDupLshSql(tau = 0.3),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.geo.Fixtures.Lcg
+
+/** Near-duplicate detection for the training-data pipeline: MinHash+LSH
+  * (shingle → minhash signature → band buckets → candidate join → exact
+  * Jaccard verify), SimHash, and n-gram Jaccard.
+  *
+  * Scale shape (the 100 TB design): signatures are computed map-side with
+  * zero shuffle; the only shuffle is the band-bucket self-join, whose key
+  * cardinality is ~|docs|·bands and whose skew (hot buckets = boilerplate
+  * text) is bounded by banding and handled by AQE skew-join. Exact Jaccard
+  * runs only on candidate pairs, never all-pairs.
+  *
+  * Everything is built-in column expressions (md5/conv/transform/aggregate) —
+  * codegen'd, and mirrored 1:1 in DuckDB SQL for the oracle gate.
+  */
+object Dedup {
+
+  val P = 2147483647L // 2^31-1
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  /** (a_i, b_i) coefficients for the k universal hash functions; a < 2^20 so
+    * a·x (x < 2^32) stays far from int64 overflow in both engines. */
+  val hashCoef: Seq[(Long, Long)] = {
+    val rng = new Lcg(7L)
+    Seq.fill(NumHashes)((
+      1L + (rng.nextDouble() * ((1L << 20) - 2)).toLong,
+      (rng.nextDouble() * (P - 1)).toLong))
+  }
+
+  // ---- shingling ------------------------------------------------------------
+
+  /** Distinct word-3-gram shingles (token set fallback for docs < 3 tokens). */
+  def shinglesCol(text: Column): Column = {
+    val t = split(lower(text), " ")
+    val n = size(t)
+    when(n >= 3,
+      array_distinct(transform(sequence(lit(1), n - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+      .otherwise(array_distinct(t))
+  }
+
+  val shinglesSql: String = {
+    val t = "string_split(lower(text), ' ')"
+    s"""(CASE WHEN len($t) >= 3
+       | THEN list_distinct(list_transform(range(1, len($t) - 1),
+       |        i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]))
+       | ELSE list_distinct($t) END)""".stripMargin.replace("\n", " ")
+  }
+
+  // ---- minhash signature ----------------------------------------------------
+
+  def minhashCol(shingles: Column, i: Int): Column = {
+    val (a, b) = hashCoef(i)
+    array_min(transform(shingles, s =>
+      (TextOps.tokenIdCol(s) * lit(a) + lit(b)) % lit(P)))
+  }
+
+  def minhashSql(shinglesE: String, i: Int): String = {
+    val (a, b) = hashCoef(i)
+    s"list_aggregate(list_transform($shinglesE, s -> (${TextOps.tokenIdSql("s")} * $a + $b) % $P), 'min')"
+  }
+
+  /** (doc_id, shingles, mh0..mh15) — one map-side pass. */
+  def signatures(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), shinglesCol(col("text")).as("sh"))
+    val mhs = (0 until NumHashes).map(i => minhashCol(col("sh"), i).as(s"mh$i"))
+    base.select(col("doc_id") +: col("sh") +: mhs: _*)
+  }
+
+  /** MinHash-LSH near-dup pairs: band-bucket candidates → exact Jaccard ≥ τ.
+    * Output: (did1, did2, jac) with did1 < did2. */
+  def minhashLsh(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val sig = signatures(docs)
+    val bandKeys = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bkey"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), col("sh"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val l = buckets.select(col("band"), col("bkey"),
+      col("doc_id").as("did1"), col("sh").as("sh1"))
+    val r = buckets.select(col("band"), col("bkey"),
+      col("doc_id").as("did2"), col("sh").as("sh2"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("did1") < col("did2"))
+      .select(col("did1"), col("did2"),
+        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))), 4).as("jac"))
+      .distinct()
+      .filter(col("jac") >= tau)
+  }
+
+  def minhashLshSql(tau: Double = 0.5): String = {
+    val mhs = (0 until NumHashes).map(i => s"${minhashSql("sh", i)} AS mh$i").mkString(", ")
+    val bands = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc_id, sh, $b AS band, md5($cols) AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |sig AS (SELECT doc_id, sh, $mhs FROM sh),
+       |buckets AS ($bands),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS did1, r.doc_id AS did2,
+       |    round(len(list_filter(l.sh, x -> list_contains(r.sh, x)))::DOUBLE
+       |          / len(list_distinct(l.sh || r.sh)), 4) AS jac
+       |  FROM buckets l JOIN buckets r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+       |SELECT did1, did2, jac FROM cand WHERE jac >= $tau""".stripMargin
+  }
+
+  // ---- simhash ----------------------------------------------------------------
+
+  val SimBits = 32
+
+  /** 32-bit SimHash over token frequency (explode → 32 conditional sums →
+    * bit assembly; one shuffle keyed by doc_id, partial-agg combined). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+      .withColumn("th", TextOps.tokenIdCol(col("tok")))
+    val sums = (0 until SimBits).map(i =>
+      sum(shiftright(col("th"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"b$i"))
+    val agg = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val bits = (0 until SimBits).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    agg.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  def simhashSql: String = {
+    val sums = (0 until SimBits).map(i =>
+      s"SUM(((th >> $i) & 1) * 2 - 1) AS b$i").mkString(", ")
+    val bits = (0 until SimBits).map(i =>
+      s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${TextOps.tokenIdSql("t.tok")} AS th
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents) t),
+       |agg AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
+       |SELECT doc_id, ($bits) AS simhash FROM agg""".stripMargin
+  }
+
+  // ---- n-gram Jaccard (linear scan over adjacent ids) -------------------------
+
+  /** Jaccard similarity of word-3-gram sets between consecutive doc ids —
+    * the exact-verify kernel of the LSH pipeline, oracle-checkable end to
+    * end without an all-pairs blowup. */
+  def jaccardAdjacent(docs: DataFrame): DataFrame = {
+    val s = docs.select(col("doc_id"), shinglesCol(col("text")).as("sh"))
+    val a = s.select(col("doc_id").as("did1"), col("sh").as("sh1"))
+    val b = s.select((col("doc_id") - 1).as("did1"), col("doc_id").as("did2"), col("sh").as("sh2"))
+    a.join(b, Seq("did1"))
+      .select(col("did1"), col("did2"),
+        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))), 4).as("jac"))
+  }
+
+  val jaccardAdjacentSql: String =
+    s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents)
+       |SELECT a.doc_id AS did1, b.doc_id AS did2,
+       |  round(len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE
+       |        / len(list_distinct(a.sh || b.sh)), 4) AS jac
+       |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.geo.Fixtures.Lcg
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * Array[Float] ×64, label).
+  *
+  * - brute-force cosine top-k: broadcast the (tiny) query set, one pass over
+  *   the fact table, per-query window top-k — the exactness baseline;
+  * - LSH-bucketed near-dup: sign-projection onto fixed hyperplanes buckets
+  *   vectors so the candidate self-join touches only same-bucket pairs — the
+  *   scale path (at 10^12 rows the bucket join replaces an impossible
+  *   all-pairs cross join; bucket count grows with plane count).
+  *
+  * Dot products are unrolled per-dimension column sums (left-associated, in
+  * double), structurally identical in the DuckDB oracle → bit-identical
+  * floats.
+  */
+object Similarity {
+
+  val Dims = 64
+
+  /** Left-associated unrolled dot product of two array<float> columns. */
+  def dotCol(a: Column, b: Column): Column =
+    (0 until Dims).map(i =>
+      element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double"))
+      .reduce(_ + _)
+
+  def dotSql(aE: String, bE: String): String =
+    (0 until Dims).map(i =>
+      s"$aE[${i + 1}]::DOUBLE * $bE[${i + 1}]::DOUBLE").mkString("(", " + ", ")")
+
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (sqrt(dotCol(a, a)) * sqrt(dotCol(b, b)))
+
+  def cosineSql(aE: String, bE: String): String =
+    s"(${dotSql(aE, bE)} / (SQRT(${dotSql(aE, aE)}) * SQRT(${dotSql(bE, bE)})))"
+
+  /** Exact top-k cosine neighbors for query vectors (vec_id < nQueries).
+    * Output: (qid, rank, vec_id, cos). */
+  def annBrute(emb: DataFrame, nQueries: Int = 4, k: Int = 5): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cand = emb.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosineCol(col("qe"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  def annBruteSql(nQueries: Int = 4, k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
+       |d AS (SELECT q.qid, e.vec_id,
+       |        round(${cosineSql("q.qe", "e.embedding")}, 6) AS cos
+       |      FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+       |r AS (SELECT qid, vec_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |      FROM d)
+       |SELECT qid, rank, vec_id, cos FROM r WHERE rank <= $k""".stripMargin
+
+  // ---- LSH bucketing ----------------------------------------------------------
+
+  val Planes = 8
+  val ProjDims = 16 // project on leading dims: keeps the oracle SQL compact
+
+  /** Fixed random hyperplanes (literal coefficients, deterministic LCG). */
+  val hyperplanes: Seq[Array[Double]] = {
+    val rng = new Lcg(11L)
+    Seq.fill(Planes)(Array.fill(ProjDims)(rng.nextDouble() * 2 - 1))
+  }
+
+  def bucketCol(e: Column): Column =
+    (0 until Planes).map { j =>
+      val proj = (0 until ProjDims).map(i =>
+        element_at(e, i + 1).cast("double") * lit(hyperplanes(j)(i))).reduce(_ + _)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def bucketSql(eE: String): String =
+    (0 until Planes).map { j =>
+      val proj = (0 until ProjDims).map(i =>
+        s"$eE[${i + 1}]::DOUBLE * ${hyperplanes(j)(i)}").mkString(" + ")
+      s"(CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Near-duplicate pairs: same LSH bucket AND cosine ≥ tau. */
+  def nearDupLsh(emb: DataFrame, tau: Double = 0.9): DataFrame = {
+    val b = emb.select(col("vec_id"), col("embedding"),
+      bucketCol(col("embedding")).as("bucket"))
+    val l = b.select(col("bucket"), col("vec_id").as("vid1"), col("embedding").as("e1"))
+    val r = b.select(col("bucket"), col("vec_id").as("vid2"), col("embedding").as("e2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("vid1") < col("vid2"))
+      .withColumn("cos", round(cosineCol(col("e1"), col("e2")), 6))
+      .filter(col("cos") >= tau)
+      .select(col("vid1"), col("vid2"), col("cos"))
+  }
+
+  def nearDupLshSql(tau: Double = 0.9): String =
+    s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |           FROM embeddings),
+       |p AS (SELECT l.vec_id AS vid1, r.vec_id AS vid2,
+       |        round(${cosineSql("l.embedding", "r.embedding")}, 6) AS cos
+       |      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+       |SELECT vid1, vid2, cos FROM p WHERE cos >= $tau""".stripMargin
+}
