@@ -57,7 +57,10 @@ object Fixtures {
       val cx = -135.0 + 90.0 * gx + (rng.nextDouble() - 0.5) * 30.0
       val cy = -60.0 + 40.0 * gy + (rng.nextDouble() - 0.5) * 16.0
       val n = 8 + (cid % 5)
-      val base = 18.0 + 14.0 * rng.nextDouble()
+      // radii large enough that several neighbors overlap (multi-membership
+      // arrays, as in backend/field_update:192-199) while corners stay
+      // uncovered (empty→default-0 path)
+      val base = 30.0 + 25.0 * rng.nextDouble()
       val pts = Array.tabulate(n) { i =>
         val ang = 2 * math.Pi * i / n
         val r = base * (0.7 + 0.3 * rng.nextDouble())

@@ -1,0 +1,99 @@
+package graft.lineage
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Resumable export with per-partition lineage + metrics (BASELINE.json
+  * north_rule R4; the reference's nearest analogues are the celery task
+  * status table polled at /tasks/status, API/tasks.py:23-82, and the
+  * replication watermark, builder.py:733-735).
+  *
+  * Iceberg-emulated commit protocol (no Iceberg jar on the classpath):
+  *  - each task writes its partition's rows to `parts/p<id>.tmp`, then
+  *    atomically renames to `p<id>.jsonl` and drops a `p<id>.done` manifest
+  *    row (partitionId, rowCount, bytes, status, wallMillis) — write-ahead +
+  *    last-wins rename makes the per-partition commit idempotent;
+  *  - resume lists committed partition ids and re-runs ONLY the missing ones
+  *    (the anti-join of partitions against the lineage table);
+  *  - `finish` compacts the .done rows into a lineage parquet table.
+  *
+  * On a real cluster `parts/` is object storage and the rename is a
+  * PUT-if-absent; the protocol is unchanged.
+  */
+object Lineage {
+
+  final case class PartMeta(partitionId: Int, rowCount: Long, bytes: Long,
+      status: String, wallMillis: Long)
+
+  def committedParts(outDir: String): Set[Int] = {
+    val d = Paths.get(outDir, "parts")
+    if (!Files.exists(d)) Set.empty
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("p") && n.endsWith(".done"))
+      .map(n => n.stripPrefix("p").stripSuffix(".done").toInt)
+      .toSet
+  }
+
+  /** Export `lines` (single string column) to outDir, committing per
+    * partition; skips partitions already committed by a previous (killed)
+    * run. `failAtPartition` injects a fault for the kill-and-resume test. */
+  def exportResumable(
+      lines: DataFrame,
+      outDir: String,
+      failAtPartition: Int = -1): Unit = {
+    require(lines.schema.fields.length == 1, "expected a single string column")
+    Files.createDirectories(Paths.get(outDir, "parts"))
+    val done = committedParts(outDir)
+    val doneBc = lines.sparkSession.sparkContext.broadcast(done)
+    lines.toDF("line").foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      if (!doneBc.value.contains(pid)) {
+        if (pid == failAtPartition)
+          throw new RuntimeException(s"injected fault at partition $pid")
+        val t0 = System.currentTimeMillis()
+        val tmp = Paths.get(outDir, "parts", s"p$pid.tmp")
+        val fin = Paths.get(outDir, "parts", s"p$pid.jsonl")
+        val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+        var n = 0L
+        try it.foreach { r => w.write(r.getString(0)); w.write('\n'); n += 1 }
+        finally w.close()
+        val sz = Files.size(tmp)
+        Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        val meta = s"""{"partitionId":$pid,"rowCount":$n,"bytes":$sz,""" +
+          s""""status":"committed","wallMillis":${System.currentTimeMillis() - t0}}"""
+        val mTmp = Paths.get(outDir, "parts", s"p$pid.done.tmp")
+        Files.write(mTmp, meta.getBytes(StandardCharsets.UTF_8))
+        Files.move(mTmp, Paths.get(outDir, "parts", s"p$pid.done"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
+  }
+
+  /** Compact per-partition manifests into the lineage parquet table; returns
+    * the lineage DataFrame. */
+  def finish(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Files.list(Paths.get(outDir, "parts")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".done"))
+      .map { p =>
+        val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        def f(k: String): String =
+          s.split("\"" + k + "\":")(1).split("[,}]")(0).replaceAll("\"", "")
+        PartMeta(f("partitionId").toInt, f("rowCount").toLong, f("bytes").toLong,
+          f("status"), f("wallMillis").toLong)
+      }.toSeq
+    val df = rows.toDF()
+    df.write.mode("overwrite").parquet(s"$outDir/lineage")
+    df
+  }
+
+  /** Read back all committed lines (the export's logical output). */
+  def readExport(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.text(s"$outDir/parts/*.jsonl")
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.ImageFixture
+
+/** Multimodal column operators: the image payload (`bytes` binary + typed
+  * metadata w/h/fmt) is decoded, feature-extracted and verified on the
+  * executors. Decode is real (javax.imageio handles png/jpeg/bmp in-JDK);
+  * the Spark-side plumbing — schema, batch shape, partition-local reader
+  * reuse — is the part that matters at 10^12 rows: decode is a narrow
+  * per-partition map with zero shuffle, so it scales linearly with executors.
+  *
+  * (The reference pipes payloads through ogr2ogr subprocesses, app.py:549-616;
+  * ours stay in-JVM.)
+  */
+object Multimodal {
+
+  def decode(bytes: Array[Byte]): BufferedImage =
+    ImageIO.read(new ByteArrayInputStream(bytes))
+
+  /** Grayscale 8×8 mean-block feature vector — the "embedding extract" step. */
+  def gray8x8(img: BufferedImage): Array[Double] = {
+    val out = new Array[Double](64)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var i = 0
+    while (i < 64) {
+      val bx = i % 8; val by = i / 8
+      var sum = 0.0; var n = 0
+      var y = by * h / 8
+      val yEnd = math.max(y + 1, (by + 1) * h / 8)
+      while (y < yEnd) {
+        var x = bx * w / 8
+        val xEnd = math.max(x + 1, (bx + 1) * w / 8)
+        while (x < xEnd) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+            0.114 * (rgb & 0xFF)
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      out(i) = sum / n
+      i += 1
+    }
+    out
+  }
+
+  /** PSNR between two images of equal dims (dB; infinity-capped at 99.0).
+    * Per-row invariant: decoded payload vs regenerated source pixels must
+    * reach ≥40 dB for lossy fmts, exact for PNG (BASELINE.json input_hint). */
+  def psnr(a: BufferedImage, b: BufferedImage): Double = {
+    require(a.getWidth == b.getWidth && a.getHeight == b.getHeight, "dim mismatch")
+    var se = 0.0
+    var n = 0
+    var y = 0
+    while (y < a.getHeight) {
+      var x = 0
+      while (x < a.getWidth) {
+        val pa = a.getRGB(x, y); val pb = b.getRGB(x, y)
+        var c = 0
+        while (c < 3) {
+          val d = ((pa >> (8 * c)) & 0xFF) - ((pb >> (8 * c)) & 0xFF)
+          se += d.toDouble * d; n += 1; c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (se == 0) 99.0 else {
+      val mse = se / n
+      math.min(99.0, 20 * math.log10(255.0) - 10 * math.log10(mse))
+    }
+  }
+
+  // ---- DataFrame-level plumbing ------------------------------------------------
+
+  private val decodeDimsUdf = udf((bytes: Array[Byte]) => {
+    val img = decode(bytes)
+    (img.getWidth, img.getHeight)
+  })
+
+  private val phashUdf = udf((bytes: Array[Byte]) => ImageFixture.avgHash64(decode(bytes)))
+
+  private val featUdf = udf((bytes: Array[Byte]) => gray8x8(decode(bytes)).map(_.toFloat))
+
+  /** Verify stored metadata/phash against the actual payload; flag mismatches.
+    * Output: (image_id, fmt, w_ok, h_ok, phash_ok). */
+  def verifyPayload(images: DataFrame): DataFrame =
+    images
+      .withColumn("dims", decodeDimsUdf(col("bytes")))
+      .withColumn("phash2", phashUdf(col("bytes")))
+      .select(col("image_id"), col("fmt"),
+        (col("dims._1") === col("w")).as("w_ok"),
+        (col("dims._2") === col("h")).as("h_ok"),
+        // jpeg is lossy → phash may drift by a few bits; count them instead
+        bit_count(col("phash").bitwiseXOR(col("phash2"))).as("phash_hamming"))
+
+  /** Feature extraction: image bytes → 64-dim float vector (feeds the
+    * Similarity operators). Narrow map, no shuffle. */
+  def extractFeatures(images: DataFrame): DataFrame =
+    images.select(col("image_id"), featUdf(col("bytes")).as("embedding"))
+}

@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic image+caption fixture generator (FIXTURES.md §1): the
+  * engine's replacement for the reference's pokhara.osm.pbf fixture
+  * (tests/fixtures/, stripped from the checkout). Fully self-synthesized —
+  * seeded, reproducible per image_id, real PNG/JPEG payloads via
+  * javax.imageio (in-JDK; no external data).
+  */
+object ImageFixture {
+
+  final case class ImageRow(
+      image_id: String, bytes: Array[Byte], w: Int, h: Int,
+      fmt: String, caption: String, phash: Long)
+
+  private val vocabKeys = Seq(
+    "building" -> Seq("yes", "no", "school", "residential"),
+    "highway" -> Seq("residential", "primary", "footway", "tertiary"),
+    "amenity" -> Seq("shop", "toilet", "school", "cafe"),
+    "waterway" -> Seq("river", "canal"),
+    "landuse" -> Seq("farmland", "forest"))
+  private val filler = Seq("lorem", "ipsum", "dolor", "sit", "amet", "scan",
+    "tile", "alpha", "beta", "gamma")
+
+  /** 64-bit FNV-1a — deterministic id hash, independent of the engine's
+    * xxhash64 location derivation (used only for payload/caption content). */
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  def imageId(i: Long): String = f"img$i%012d"
+
+  /** Deterministic per-id pixel pattern: gradient + id-seeded rectangles. */
+  def pixels(id: String, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val seed = fnv64(id)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // grayscale (r=g=b): JPEG 4:2:0 chroma subsampling then loses
+        // nothing, and the low-frequency block pattern keeps luma
+        // quantization loss small → PSNR≥40dB at quality .98
+        val grad = (x * 127 / math.max(1, w - 1) + y * 127 / math.max(1, h - 1)) / 2
+        val blk = ((seed >>> ((x / 8 + (y / 8) * 3) % 56)) & 0x7F).toInt
+        val v = (grad + blk) / 2 * 2 & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    if (fmt == "jpeg") {
+      // explicit high quality so the decoded-pixel PSNR≥40dB invariant holds
+      // even on the high-frequency id-noise channel
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(0.98f)
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      writer.dispose(); ios.close()
+    } else ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit average-hash over an 8×8 grayscale downsample — the recomputable
+    * per-row invariant (FIXTURES.md: phash equality). */
+  def avgHash64(img: BufferedImage): Long = {
+    val g = new Array[Double](64)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var i = 0
+    while (i < 64) {
+      val bx = i % 8; val by = i / 8
+      // average the block [bx*w/8, (bx+1)*w/8) × [by*h/8, (by+1)*h/8)
+      var sum = 0.0; var n = 0
+      var y = by * h / 8
+      val yEnd = math.max(y + 1, (by + 1) * h / 8)
+      while (y < yEnd) {
+        var x = bx * w / 8
+        val xEnd = math.max(x + 1, (bx + 1) * w / 8)
+        while (x < xEnd) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+            0.114 * (rgb & 0xFF)
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      g(i) = sum / n
+      i += 1
+    }
+    val mean = g.sum / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (g(i) >= mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  def caption(id: String): String = {
+    val h = fnv64(id)
+    val sb = new StringBuilder
+    // 1-3 k=v tags
+    val nTags = 1 + (math.abs(h) % 3).toInt
+    var i = 0
+    while (i < nTags) {
+      val (k, vs) = vocabKeys((math.abs(h >> (7 * i + 3)) % vocabKeys.size).toInt)
+      val v = vs((math.abs(h >> (7 * i + 9)) % vs.size).toInt)
+      if (!sb.toString.contains(k + "=")) sb.append(k).append('=').append(v).append(' ')
+      i += 1
+    }
+    sb.append("name=n").append(math.abs(h) % 1000)
+    // filler words
+    var j = 0
+    val nFill = 2 + (math.abs(h >> 17) % 4).toInt
+    while (j < nFill) {
+      sb.append(' ').append(filler((math.abs(h >> (5 * j + 23)) % filler.size).toInt))
+      j += 1
+    }
+    sb.toString
+  }
+
+  def row(i: Long): ImageRow = {
+    val id = imageId(i)
+    val h = fnv64(id)
+    val w = Seq(16, 24, 32)((math.abs(h >> 11) % 3).toInt)
+    val ht = Seq(16, 24, 32)((math.abs(h >> 13) % 3).toInt)
+    val fmt = if (math.abs(h >> 19) % 4 == 0) "jpeg" else "png"
+    val img = pixels(id, w, ht)
+    ImageRow(id, encode(img, fmt), w, ht, fmt, caption(id), avgHash64(img))
+  }
+
+  /** Generate the fixture as a Dataset (distributed; one task per range
+    * partition — encoding is per-row CPU work, no shuffle). */
+  def generate(spark: SparkSession, n: Long, partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).as[Long].map(row _).toDF()
+  }
+
+  /** Write as the engine's Iceberg-emulated table: data clustered by cell
+    * (range-partitioned on the space-filling curve = CLUSTER analogue), plus
+    * a manifest sidecar with per-file cell min/max for pruning and a
+    * snapshot row (SURVEY.md §1.3, §7.1). */
+  def write(spark: SparkSession, n: Long, baseDir: String, partitions: Int = 32): Unit = {
+    import spark.implicits._
+    val df = ImageTable.derive(generate(spark, n, partitions))
+    df.repartitionByRange(partitions, col("cell"))
+      .sortWithinPartitions("cell")
+      .write.mode(SaveMode.Overwrite).parquet(s"$baseDir/data")
+    // manifest: per-file cell range (what Iceberg keeps in manifest files)
+    val manifest = spark.read.parquet(s"$baseDir/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(min("cell").as("cell_min"), max("cell").as("cell_max"),
+        count(lit(1)).as("rows"))
+    manifest.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/manifest")
+    Seq((1L, n, System.currentTimeMillis()))
+      .toDF("snapshot_id", "row_count", "committed_at")
+      .write.mode(SaveMode.Overwrite).parquet(s"$baseDir/snapshot")
+  }
+
+  def read(spark: SparkSession, baseDir: String): DataFrame =
+    spark.read.parquet(s"$baseDir/data")
+}

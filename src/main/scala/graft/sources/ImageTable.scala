@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GeoCols
+
+/** The engine's one fact table (BASELINE.json input_hint):
+  *   (image_id string, bytes binary, w int, h int, fmt string,
+  *    caption string, phash long)
+  * — the analogue of the reference's four feature tables (backend/raw.lua:
+  * 29-96), with `caption` playing `tags jsonb` and derived location playing
+  * `geom`.
+  *
+  * Derived columns (computed, never stored — the derivation IS the spec):
+  *  - u1/u2: two independent uniform [0,1) draws from xxhash64(image_id)
+  *    (codegen'd built-in, no UDF);
+  *  - lon/lat: cubed-uniform transform — deliberately SKEWED toward (0,0)
+  *    so dense-cell handling (salting/AQE) is exercised, the way the
+  *    reference's planet data piles up in cities;
+  *  - tags: k=v tokens of the caption as a map (reference tags jsonb,
+  *    builder.py:148);
+  *  - kind: point/line/polygon routing class (the reference routes features
+  *    to nodes/ways_line/ways_poly by shape, backend/raw.lua:106-180);
+  *  - cell: the res-`BucketRes` Z-order cell — write-time clustering key
+  *    (CLUSTER ... USING geom_idx analogue, backend/sql/post_indexes.sql:57).
+  */
+object ImageTable {
+
+  val BucketRes = 7
+
+  private def unit(h: Column): Column =
+    (pmod(h, lit(1000000000L))).cast("double") / lit(1.0e9)
+
+  def u1Col(imageId: Column): Column = unit(xxhash64(imageId))
+  def u2Col(imageId: Column): Column = unit(xxhash64(imageId, lit(1)))
+
+  /** cube transform: skew mass toward 0 while staying in (-1,1) */
+  private def cube(u: Column): Column = {
+    val t = u * lit(2.0) - lit(1.0)
+    t * t * t
+  }
+
+  def lonCol(imageId: Column): Column = cube(u1Col(imageId)) * lit(180.0)
+  def latCol(imageId: Column): Column = cube(u2Col(imageId)) * lit(85.0)
+
+  /** caption "k=v k=v word word" → map of the k=v tokens. */
+  def tagsCol(caption: Column): Column = {
+    val kv = filter(split(caption, " "), t => t.contains("="))
+    map_from_entries(array_distinct(transform(kv, t =>
+      struct(substring_index(t, "=", 1), substring_index(t, "=", -1)))))
+  }
+
+  /** geometry-type routing class from the id hash (reference raw.lua routing). */
+  def kindCol(imageId: Column): Column = {
+    val m = pmod(xxhash64(imageId, lit(2)), lit(10L))
+    when(m < 6, lit("point")).when(m < 8, lit("line")).otherwise(lit("polygon"))
+  }
+
+  def cellCol(imageId: Column): Column =
+    GeoCols.cellCol(BucketRes, lonCol(imageId), latCol(imageId))
+
+  /** Attach all derived columns to a raw images DataFrame. */
+  def derive(images: DataFrame): DataFrame =
+    images
+      .withColumn("lon", lonCol(col("image_id")))
+      .withColumn("lat", latCol(col("image_id")))
+      .withColumn("tags", tagsCol(col("caption")))
+      .withColumn("kind", kindCol(col("image_id")))
+      .withColumn("cell", cellCol(col("image_id")))
+}
