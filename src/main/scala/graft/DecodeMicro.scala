@@ -1,0 +1,45 @@
+package graft
+
+import java.util.concurrent.{Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+import graft.operators.Multimodal
+import graft.sources.ImageFixture
+
+/** Dev-only: pure-JVM (no Spark) decode throughput at 1/8/32 threads —
+  * isolates javax.imageio thread-scaling from Spark effects. */
+object DecodeMicro {
+  def main(args: Array[String]): Unit = {
+    val n = 4000
+    val rows = (0L until n).map(ImageFixture.row)
+    val payloads = rows.map(_.bytes).toArray
+    // warmup
+    payloads.take(500).foreach(b => Multimodal.decode(b))
+    for (threads <- Seq(1, 8, 32)) {
+      val pool = Executors.newFixedThreadPool(threads)
+      val done = new AtomicLong()
+      val reps = 8
+      val t0 = System.nanoTime()
+      (0 until threads).foreach { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            var r = 0
+            while (r < reps) {
+              var i = t
+              while (i < payloads.length) {
+                val img = Multimodal.decode(payloads(i))
+                done.addAndGet(img.getWidth.toLong)
+                i += threads
+              }
+              r += 1
+            }
+          }
+        })
+      }
+      pool.shutdown()
+      pool.awaitTermination(600, TimeUnit.SECONDS)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val total = n.toLong * reps
+      println(f"[micro] threads=$threads%2d decodes=$total time=$sec%.2f s rate=${total / sec}%.0f/s per-thread=${total / sec / threads}%.0f/s")
+    }
+  }
+}

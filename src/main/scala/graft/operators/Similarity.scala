@@ -42,12 +42,17 @@ object Similarity {
   /** Exact top-k cosine neighbors for query vectors (vec_id < nQueries).
     * Output: (qid, rank, vec_id, cos). */
   def annBrute(emb: DataFrame, nQueries: Int = 4, k: Int = 5): DataFrame = {
+    // norms are projected ONCE per side before the join (same arithmetic as
+    // the per-pair oracle expression → identical doubles, 3× fewer flops)
     val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val cand = emb.select(col("vec_id"), col("embedding"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        sqrt(dotCol(col("embedding"), col("embedding"))).as("qn"))
+    val cand = emb.select(col("vec_id"), col("embedding"),
+      sqrt(dotCol(col("embedding"), col("embedding"))).as("n"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     cand.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosineCol(col("qe"), col("embedding")), 6))
+      .withColumn("cos",
+        round(dotCol(col("qe"), col("embedding")) / (col("qn") * col("n")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
@@ -91,12 +96,16 @@ object Similarity {
   /** Near-duplicate pairs: same LSH bucket AND cosine ≥ tau. */
   def nearDupLsh(emb: DataFrame, tau: Double = 0.9): DataFrame = {
     val b = emb.select(col("vec_id"), col("embedding"),
-      bucketCol(col("embedding")).as("bucket"))
-    val l = b.select(col("bucket"), col("vec_id").as("vid1"), col("embedding").as("e1"))
-    val r = b.select(col("bucket"), col("vec_id").as("vid2"), col("embedding").as("e2"))
-    l.join(r, Seq("bucket"))
+      bucketCol(col("embedding")).as("bucket"),
+      sqrt(dotCol(col("embedding"), col("embedding"))).as("n"))
+    val left = b.select(col("bucket"), col("vec_id").as("vid1"),
+      col("embedding").as("e1"), col("n").as("n1"))
+    val right = b.select(col("bucket"), col("vec_id").as("vid2"),
+      col("embedding").as("e2"), col("n").as("n2"))
+    left.join(right, Seq("bucket"))
       .filter(col("vid1") < col("vid2"))
-      .withColumn("cos", round(cosineCol(col("e1"), col("e2")), 6))
+      .withColumn("cos",
+        round(dotCol(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
       .filter(col("cos") >= tau)
       .select(col("vid1"), col("vid2"), col("cos"))
   }

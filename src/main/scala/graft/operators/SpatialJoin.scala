@@ -39,12 +39,18 @@ object SpatialJoin {
       full.toSeq.map(c => (c, r.cid, false)) ++ part.toSeq.map(c => (c, r.cid, true))
     }
 
-  /** Codegen'd exact-refine predicate: CASE over region ids → per-region
-    * raycast on literal polygon coordinates. */
-  def pipChain(regions: Seq[Fixtures.Region], lon: Column, lat: Column): Column =
-    regions.foldLeft(lit(false)) { (acc, r) =>
-      when(col("cid") === lit(r.cid), GeoCols.pipCol(r.poly, lon, lat)).otherwise(acc)
-    }
+  /** Exact-refine predicate. A literal CASE-chain of 16 raycasts blows the
+    * janino 64KB method limit → whole-stage-codegen fallback + per-task
+    * recompile storms (measured: local[32] 4× slower than local[8]). A
+    * compact UDF over the broadcast region catalog keeps the generated code
+    * tiny (one call) and runs the same compiled kernel raycast
+    * (graft.geo.Geo.pointInPolygon — identical arithmetic to the SQL oracle,
+    * verified in EngineSpec). */
+  def pipRefineUdf(regions: Seq[Fixtures.Region]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val catalog: Map[Int, Polygon] = regions.map(r => r.cid -> r.poly).toMap
+    udf((cid: Int, lon: Double, lat: Double) =>
+      graft.geo.Geo.pointInPolygon(lon, lat, catalog(cid)))
+  }
 
   /** points: (pid: Long, lon: Double, lat: Double) → (pid, cids: String)
     * where cids = comma-joined ascending region ids, "0" when none
@@ -53,20 +59,42 @@ object SpatialJoin {
       spark: SparkSession,
       points: DataFrame,
       regions: Seq[Fixtures.Region] = Fixtures.regions,
-      res: Int = 7): DataFrame = {
+      res: Int = 7): DataFrame =
+    assignRegionsKeep(spark, points, regions, res, Nil)
+
+  /** Like [[assignRegions]] but carries `keep` columns through the
+    * aggregation (values are functions of pid, so first() is exact). Lets a
+    * downstream tile explode run in the SAME pipeline instead of re-joining
+    * back to the fact table — one shuffle for the whole
+    * extract→assign→tile flagship instead of two plus a join. */
+  def assignRegionsKeep(
+      spark: SparkSession,
+      points: DataFrame,
+      regions: Seq[Fixtures.Region] = Fixtures.regions,
+      res: Int = 7,
+      keep: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val cover = coverRows(regions, res).toDF("cell", "cid", "refine")
-    val withCell = points.withColumn("cell", GeoCols.cellCol(res, col("lon"), col("lat")))
+    // reuse a materialized bucket column when the caller carries one at the
+    // join resolution (ingest-time derivation — no per-row recompute)
+    val withCell =
+      if (points.columns.contains("cell") && res == graft.sources.ImageTable.BucketRes)
+        points
+      else points.withColumn("cell", GeoCols.cellCol(res, col("lon"), col("lat")))
     val joined = withCell.join(broadcast(cover), Seq("cell"), "left")
-    val matched = !col("refine") || pipChain(regions, col("lon"), col("lat"))
+    val matched = !col("refine") ||
+      pipRefineUdf(regions)(col("cid"), col("lon"), col("lat"))
+    val aggs = sort_array(collect_set(col("cid_ok"))).as("cid_arr") +:
+      keep.map(c => first(col(c)).as(c))
     joined
       .withColumn("cid_ok", when(col("cid").isNotNull && matched, col("cid")))
       .groupBy(col("pid"))
-      .agg(sort_array(collect_set(col("cid_ok"))).as("cid_arr"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(
-        col("pid"),
-        when(size(col("cid_arr")) === 0, lit("0"))
-          .otherwise(array_join(col("cid_arr"), ",")).as("cids"))
+        (col("pid") +:
+          when(size(col("cid_arr")) === 0, lit("0"))
+            .otherwise(array_join(col("cid_arr"), ",")).as("cids") +:
+          keep.map(col)): _*)
   }
 
   /** DuckDB oracle for [[assignRegions]] — brute-force per-region raycast
@@ -93,8 +121,11 @@ object SpatialJoin {
         GeoCols.tileXCol(z, col("lon")).as("tx"),
         GeoCols.tileYCol(z, col("lat")).as("ty"))
     }
-    points.select(col("pid"), explode(array(perZ: _*)).as("t"))
-      .select(col("pid"), col("t.z").as("z"), col("t.tx").as("tx"), col("t.ty").as("ty"))
+    // pass through every non-geometry column (pid, cids, ...)
+    val keep = points.columns.filterNot(Set("lon", "lat", "cell")).map(col).toSeq
+    points.select(keep :+ explode(array(perZ: _*)).as("t"): _*)
+      .select(keep ++ Seq(col("t.z").as("z"), col("t.tx").as("tx"),
+        col("t.ty").as("ty")): _*)
   }
 
   def tileAssignOracleSql(minZ: Int, maxZ: Int): String = {

@@ -66,12 +66,17 @@ object PlanBuilder {
 
   /** Geometry filter: coarse cover prefilter && exact refine (F1/F2/F9).
     * For points, ST_Within ≡ ST_Intersects (the useStWithin flag is kept for
-    * parity but both compile identically, as in builder.py:237 vs :102). */
-  def geometryFilter(geom: MultiPolygon, lon: Column, lat: Column): Column = {
+    * parity but both compile identically, as in builder.py:237 vs :102).
+    *
+    * `cell` should be the materialized bucket column when the table has one
+    * (ImageTable.BucketRes == CoverRes): the IN-prefilter then pushes into
+    * the parquet scan and prunes row groups on the cell-clustered layout —
+    * the reference's `grid = ...` index clause (builder.py:464-470). */
+  def geometryFilter(geom: MultiPolygon, lon: Column, lat: Column,
+      cell: Column): Column = {
     val covers = geom.polys.map(p => Cell.cover(p, CoverRes))
     val fullCells = covers.flatMap(_._1).toSet
     val partCells = covers.flatMap(_._2).toSet -- fullCells
-    val cell = GeoCols.cellCol(CoverRes, lon, lat)
     val inFull =
       if (fullCells.isEmpty) lit(false)
       else cell.isin(fullCells.toSeq: _*)
@@ -82,6 +87,9 @@ object PlanBuilder {
       else cell.isin(partCells.toSeq: _*) && pip
     inFull || inPart
   }
+
+  def geometryFilter(geom: MultiPolygon, lon: Column, lat: Column): Column =
+    geometryFilter(geom, lon, lat, GeoCols.cellCol(CoverRes, lon, lat))
 
   // ---- projection -----------------------------------------------------------
 
@@ -122,7 +130,7 @@ object PlanBuilder {
 
   def build(images: DataFrame, req: SnapshotRequest, csv: Boolean = false): DataFrame = {
     val derived = ImageTable.derive(images)
-      .filter(geometryFilter(req.geometry, col("lon"), col("lat")))
+      .filter(geometryFilter(req.geometry, col("lon"), col("lat"), col("cell")))
 
     // group adjacent geometry types with identical effective filters (U3)
     val groups: Seq[(Seq[GeomType], TypeFilters)] =

@@ -59,12 +59,24 @@ object ImageTable {
   def cellCol(imageId: Column): Column =
     GeoCols.cellCol(BucketRes, lonCol(imageId), latCol(imageId))
 
-  /** Attach all derived columns to a raw images DataFrame. */
-  def derive(images: DataFrame): DataFrame =
-    images
-      .withColumn("lon", lonCol(col("image_id")))
-      .withColumn("lat", latCol(col("image_id")))
-      .withColumn("tags", tagsCol(col("caption")))
-      .withColumn("kind", kindCol(col("image_id")))
-      .withColumn("cell", cellCol(col("image_id")))
+  /** Attach derived columns to a raw images DataFrame. Idempotent: columns
+    * already materialized (ingest-time derivation, the reference's
+    * precomputed `country`/`grid` pattern — backend/field_update:168-214)
+    * are reused as plain attributes. That matters a lot at query time:
+    * filter pushdown through a Project INLINES expressions into every
+    * predicate reference, so deriving at scan time blows a 12-vertex raycast
+    * into a ~4k-line codegen class (janino fails → interpreted re-evaluation
+    * of the hash chain per term). Reading the stored column keeps predicates
+    * attribute-sized AND enables parquet row-group min/max pruning on the
+    * cell-clustered layout. */
+  def derive(images: DataFrame): DataFrame = {
+    val have = images.columns.toSet
+    var df = images
+    if (!have("lon")) df = df.withColumn("lon", lonCol(col("image_id")))
+    if (!have("lat")) df = df.withColumn("lat", latCol(col("image_id")))
+    if (!have("tags")) df = df.withColumn("tags", tagsCol(col("caption")))
+    if (!have("kind")) df = df.withColumn("kind", kindCol(col("image_id")))
+    if (!have("cell")) df = df.withColumn("cell", cellCol(col("image_id")))
+    df
+  }
 }

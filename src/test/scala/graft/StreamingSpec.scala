@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Incremental
+
+/** Structured-streaming equivalence and incremental-maintenance semantics. */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming windowed agg over events == batch result") {
+    // file source needs a directory; stage the events parquet into one
+    val dir = Files.createTempDirectory("evstream")
+    val src = Paths.get("/root/testdata/sf0.001/events.parquet")
+    Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(src.toString).schema
+
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts2", col("ts").cast("timestamp"))
+      .withWatermark("ts2", "10 minutes")
+      .groupBy(window(col("ts2"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("ev_windows")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql(
+      """SELECT unix_millis(window.start) AS ws, event_type, cnt, sum_value
+        |FROM ev_windows""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val batch = spark.read.parquet(src.toString)
+      .groupBy(window(col("ts").cast("timestamp"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("ws"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
+  test("upsert: latest version wins, others pass through") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("id", "v", "version")
+    val updates = Seq((2L, "b2", 2L), (4L, "d", 1L)).toDF("id", "v", "version")
+    val got = Incremental.upsert(base, updates, "id", "version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")))
+  }
+
+  test("windowed reassignment is idempotent and touches only the window") {
+    import spark.implicits._
+    val t = (ms: Long) => new java.sql.Timestamp(ms)
+    val pts = graft.functions.GeoCols.derivedPoints(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", when(col("pid") % 2 === 0,
+        lit(t(1000000))).otherwise(lit(t(2000000))))
+    val assigned = graft.operators.SpatialJoin.assignRegionsKeep(
+      spark, pts, keep = Seq("lon", "lat", "ts"))
+    // corrupt the in-window half, then reassign the window
+    val corrupted = assigned.withColumn("cids",
+      when(col("ts") === lit(t(1000000)), lit("CORRUPT")).otherwise(col("cids")))
+    val repaired = Incremental.reassignWindow(
+      spark, corrupted.select("pid", "lon", "lat", "ts", "cids"),
+      t(0), t(1500000))
+    val diff = repaired.select("pid", "cids")
+      .except(assigned.select("pid", "cids")).count()
+    assert(diff == 0)
+  }
+
+  test("watermark reads the snapshot high-water mark") {
+    import spark.implicits._
+    val snap = Seq((1L, 10L, 111L), (2L, 20L, 222L))
+      .toDF("snapshot_id", "row_count", "committed_at")
+    assert(Incremental.watermark(snap) == 222L)
+  }
+}
