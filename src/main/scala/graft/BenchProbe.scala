@@ -15,6 +15,8 @@ object BenchProbe {
       .appName(s"probe-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -27,13 +29,28 @@ object BenchProbe {
     r
   }
 
+  private final class StageStats extends org.apache.spark.scheduler.SparkListener {
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val si = sc.stageInfo
+      val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+      val run = si.taskMetrics.executorRunTime / 1e3
+      val cpu = si.taskMetrics.executorCpuTime / 1e9
+      val gc = si.taskMetrics.jvmGCTime / 1e3
+      println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%3d wall=$wall%6.2f run=$run%7.2f cpu=$cpu%7.2f gc=$gc%6.2f  ${si.name.take(60)}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val order = if (args.nonEmpty && args(0) == "rev") Seq(32, 8) else Seq(8, 32)
+    val order = if (args.nonEmpty && args(0) == "rev") Seq(16, 4) else Seq(4, 16)
     for (cpus <- order) {
       val s = session(cpus)
+      s.sparkContext.addSparkListener(new StageStats)
       println(s"=== local[$cpus] ===")
       val images = ImageFixture.read(s, Bench.FixtureDir)
-      time(s"scan count")(images.count())
+      time(s"scan count 1")(images.count())
+      time(s"scan count 2")(images.count())
+      time(s"scan count 3")(images.count())
       val req = SnapshotRequest(
         geometry = graft.geo.MultiPolygon(Seq(Fixtures.requestPolygon)),
         geometryTypes = GeomType.all)
@@ -47,14 +64,13 @@ object BenchProbe {
         .filter(col("phash_hamming") <= 8)
         .select(col("image_id").as("pid"), col("lon"), col("lat"), col("cell"))
       time("extract+decode")(decoded.count())
-      val assigned = SpatialJoin.assignRegions(s, decoded)
-      time("  +assignRegions")(assigned.count())
-      val tiled = SpatialJoin.tileAssign(decoded, 2, 6)
-      time("  +tileAssign")(tiled.count())
+      val assigned = SpatialJoin.assignRegionsKeep(s, decoded, keep = Seq("lon", "lat"))
+      time("  +assign(keep)")(assigned.count())
       for (i <- 1 to 3)
         time(s"full flagship rep$i")(
-          SpatialJoin.tileAssign(decoded, 2, 6)
-            .join(SpatialJoin.assignRegions(s, decoded), Seq("pid")).count())
+          SpatialJoin.tileAssign(
+            SpatialJoin.assignRegionsKeep(s, decoded, keep = Seq("lon", "lat")),
+            2, 6).count())
       s.stop()
     }
   }

@@ -11,13 +11,19 @@ object DecodeMicro {
   def main(args: Array[String]): Unit = {
     val n = 4000
     val rows = (0L until n).map(ImageFixture.row)
-    val payloads = rows.map(_.bytes).toArray
+    val which = if (args.nonEmpty) args(0) else "all"
+    val payloads = (which match {
+      case "png" => rows.filter(_.fmt == "png")
+      case "jpeg" => rows.filter(_.fmt == "jpeg")
+      case _ => rows
+    }).map(_.bytes).toArray
+    println(s"[micro] format=$which payloads=${payloads.length}")
     // warmup
-    payloads.take(500).foreach(b => Multimodal.decode(b))
+    payloads.foreach(b => Multimodal.decode(b))
     for (threads <- Seq(1, 8, 32)) {
       val pool = Executors.newFixedThreadPool(threads)
       val done = new AtomicLong()
-      val reps = 8
+      val reps = if (threads >= 32) 64 else 8 * threads
       val t0 = System.nanoTime()
       (0 until threads).foreach { t =>
         pool.submit(new Runnable {
@@ -26,8 +32,8 @@ object DecodeMicro {
             while (r < reps) {
               var i = t
               while (i < payloads.length) {
-                val img = Multimodal.decode(payloads(i))
-                done.addAndGet(img.getWidth.toLong)
+                val info = Multimodal.payloadInfo(payloads(i))
+                done.addAndGet(info._1.toLong)
                 i += threads
               }
               r += 1

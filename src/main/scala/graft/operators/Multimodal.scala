@@ -43,9 +43,11 @@ object Multimodal {
   }
 
   def decode(bytes: Array[Byte]): BufferedImage = {
-    // sniff the container: PNG magic 0x89 'P' 'N' 'G', else JPEG (FF D8)
-    val fmt = if ((bytes(0) & 0xFF) == 0x89) "png" else "jpeg"
-    val reader = readerFor(fmt)
+    // PNG (the bulk of payloads) goes through our lock-free decoder —
+    // javax.imageio's PNG path still hits synchronized ColorSpace singletons
+    // per decode even with cached readers, capping scaling at ~10 threads
+    if (PngCodec.isPng(bytes)) return PngCodec.decode(bytes)
+    val reader = readerFor("jpeg")
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new ByteArrayInputStream(bytes))
     try {
@@ -118,7 +120,24 @@ object Multimodal {
     (img.getWidth, img.getHeight)
   })
 
-  private val phashUdf = udf((bytes: Array[Byte]) => ImageFixture.avgHash64(decode(bytes)))
+  /** (w, h, phash) of a payload: PNG takes the allocation-free lumaHash fast
+    * path; JPEG decodes via the cached reader. */
+  def payloadInfo(bytes: Array[Byte]): (Int, Int, Long) =
+    if (PngCodec.isPng(bytes)) {
+      val hd = PngCodec.header(bytes)
+      if (hd.bitDepth == 8 && (hd.colorType == 2 || hd.colorType == 0) &&
+        hd.width % 8 == 0 && hd.height % 8 == 0 && hd.width <= 4096)
+        PngCodec.lumaHash(bytes)
+      else {
+        val img = PngCodec.decode(bytes)
+        (img.getWidth, img.getHeight, ImageFixture.avgHash64(img))
+      }
+    } else {
+      val img = decode(bytes)
+      (img.getWidth, img.getHeight, ImageFixture.avgHash64(img))
+    }
+
+  private val phashUdf = udf((bytes: Array[Byte]) => payloadInfo(bytes)._3)
 
   private val featUdf = udf((bytes: Array[Byte]) => gray8x8(decode(bytes)).map(_.toFloat))
 

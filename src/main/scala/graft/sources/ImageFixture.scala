@@ -60,20 +60,43 @@ object ImageFixture {
     img
   }
 
+  /** Per-thread cached writers + explicit in-memory output streams: the
+    * default ImageIO path (SPI scan + FileCacheImageOutputStream temp files)
+    * both serializes threads and races in its StreamCloser shutdown hook
+    * under 64-way parallel encode. */
+  private val writerCache =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageWriter]] {
+      override def initialValue() = new java.util.HashMap()
+    }
+
+  private def writerFor(fmt: String): javax.imageio.ImageWriter = {
+    val m = writerCache.get()
+    var w = m.get(fmt)
+    if (w == null) {
+      w = ImageIO.getImageWritersByFormatName(fmt).next()
+      m.put(fmt, w)
+    }
+    w
+  }
+
   def encode(img: BufferedImage, fmt: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
+    val writer = writerFor(fmt)
+    val params = writer.getDefaultWriteParam
     if (fmt == "jpeg") {
       // explicit high quality so the decoded-pixel PSNR≥40dB invariant holds
-      // even on the high-frequency id-noise channel
-      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
-      val params = writer.getDefaultWriteParam
       params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       params.setCompressionQuality(0.98f)
-      val ios = ImageIO.createImageOutputStream(bos)
+    }
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
-      writer.dispose(); ios.close()
-    } else ImageIO.write(img, fmt, bos)
+      ios.flush()
+    } finally {
+      writer.setOutput(null)
+      ios.close()
+    }
     bos.toByteArray
   }
 
@@ -157,9 +180,15 @@ object ImageFixture {
   def write(spark: SparkSession, n: Long, baseDir: String, partitions: Int = 32): Unit = {
     import spark.implicits._
     val df = ImageTable.derive(generate(spark, n, partitions))
+    // uncompressed: the payload column is already-compressed PNG/JPEG, and
+    // the snappy codec's JNI critical sections (GCLocker) collide with the
+    // humongous byte-array allocations of the vectorized reader at 32 scan
+    // threads — measured multi-second young-GC stalls
     df.repartitionByRange(partitions, col("cell"))
       .sortWithinPartitions("cell")
-      .write.mode(SaveMode.Overwrite).parquet(s"$baseDir/data")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "uncompressed")
+      .parquet(s"$baseDir/data")
     // manifest: per-file cell range (what Iceberg keeps in manifest files)
     val manifest = spark.read.parquet(s"$baseDir/data")
       .groupBy(input_file_name().as("file"))
