@@ -112,6 +112,61 @@ object SpatialJoin {
        |FROM pts p LEFT JOIN agg ON p.pid = agg.pid""".stripMargin
   }
 
+  /** Shuffle-partitioned variant of [[assignRegions]] with EXPLICIT skew
+    * salting — for when the dimension side is too large to broadcast (a
+    * full country catalog at planet scale; BASELINE.json north_rule requires
+    * the skew story to be explicit, not AQE-only).
+    *
+    * Both sides shuffle on (cell, salt):
+    *  - the fact side computes salt = pmod(xxhash64(pid), S) — uniform, so a
+    *    dense cell's rows spread over S reducers instead of one hot one;
+    *  - the cover side replicates each (cell, cid) row S times, once per
+    *    salt value (dimension replication is the standard dual of fact-side
+    *    salting).
+    * S is chosen per cell from a sampled hotness map: only cells above
+    * `hotThreshold` get S = `saltFactor`, the rest keep S = 1, so the
+    * replication cost is bounded by the actually-hot cells. AQE skew-join
+    * stays on as backstop for residual imbalance. */
+  def assignRegionsShuffleSalted(
+      spark: SparkSession,
+      points: DataFrame,
+      regions: Seq[Fixtures.Region] = Fixtures.regions,
+      res: Int = 7,
+      saltFactor: Int = 8,
+      hotThreshold: Long = 50000L): DataFrame = {
+    import spark.implicits._
+    val withCell =
+      if (points.columns.contains("cell") && res == graft.sources.ImageTable.BucketRes)
+        points
+      else points.withColumn("cell", GeoCols.cellCol(res, col("lon"), col("lat")))
+
+    // sampled hotness map (driver-sized: |occupied cells| at res 7 ≤ 16k)
+    val hotCells = withCell.sample(0.01).groupBy("cell").count()
+      .filter(col("count") > hotThreshold / 100)
+      .select("cell").collect().map(_.getLong(0)).toSet
+    val hotBc = spark.sparkContext.broadcast(hotCells)
+    val saltOf = udf((cell: Long) => if (hotBc.value.contains(cell)) saltFactor else 1)
+
+    val cover = coverRows(regions, res).toDF("cell", "cid", "refine")
+      .withColumn("s", saltOf(col("cell")))
+      .withColumn("salt", explode(transform(sequence(lit(0), col("s") - 1), i => i)))
+      .drop("s")
+    val fact = withCell.withColumn("salt",
+      pmod(xxhash64(col("pid")), saltOf(col("cell"))).cast("int"))
+
+    val joined = fact.join(cover, Seq("cell", "salt"), "left")
+    val matched = !col("refine") ||
+      pipRefineUdf(regions)(col("cid"), col("lon"), col("lat"))
+    joined
+      .withColumn("cid_ok", when(col("cid").isNotNull && matched, col("cid")))
+      .groupBy(col("pid"))
+      .agg(sort_array(collect_set(col("cid_ok"))).as("cid_arr"))
+      .select(
+        col("pid"),
+        when(size(col("cid_arr")) === 0, lit("0"))
+          .otherwise(array_join(col("cid_arr"), ",")).as("cids"))
+  }
+
   /** Tile-pyramid assignment (tippecanoe analogue, app.py:690-698): one output
     * row per (point, zoom) with its Web-Mercator tile — the write side would
     * `partitionBy("z", "tx", "ty")`. Explode is a zero-shuffle narrow op. */

@@ -85,7 +85,15 @@ object PlanBuilder {
     val inPart =
       if (partCells.isEmpty) lit(false)
       else cell.isin(partCells.toSeq: _*) && pip
-    inFull || inPart
+    // redundant top-level conjunct: a bare `cell IN cover` that Catalyst CAN
+    // push into the parquet scan (the OR-of-branches below is unpushable as
+    // a whole). Above the parquet In-threshold it degrades to a min/max
+    // range filter — which still prunes row groups on the cell-clustered
+    // layout (SURVEY §4 "coarse-index AND exact filter").
+    val allCells = fullCells ++ partCells
+    val pushable =
+      if (allCells.isEmpty) lit(false) else cell.isin(allCells.toSeq: _*)
+    pushable && (inFull || inPart)
   }
 
   def geometryFilter(geom: MultiPolygon, lon: Column, lat: Column): Column =

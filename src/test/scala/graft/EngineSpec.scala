@@ -68,6 +68,18 @@ class EngineSpec extends SparkSpec {
     assert(got.values.exists(_ == "0"), "no empty-default exercised")
   }
 
+  test("shuffle-salted assignment equals the broadcast variant") {
+    val pts = GeoCols.derivedPoints(spark, sfDir)
+    val broadcastRes = SpatialJoin.assignRegions(spark, pts)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // force salting on every occupied cell (hotThreshold 0) to exercise the
+    // replicate-and-join path end to end
+    val salted = SpatialJoin.assignRegionsShuffleSalted(
+        spark, pts, saltFactor = 4, hotThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted == broadcastRes)
+  }
+
   test("knn equals brute-force linear-scan oracle") {
     val k = 8
     val got = Knn.knn(spark, GeoCols.derivedPoints(spark, sfDir),

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.geo.{Fixtures, MultiPolygon}
+import graft.model.{GeomType, SnapshotRequest}
+import graft.plan.PlanBuilder
+import graft.operators.SpatialJoin
+import graft.sources.ImageFixture
+
+/** Physical-plan assertions: the shapes that matter at 100 TB must be in the
+  * plan, not just intended — filter pushdown to the scan, broadcast joins for
+  * catalog-sized sides, a single exchange for the assignment pipeline, and
+  * whole-stage codegen over the hot path. */
+class PlanQualitySpec extends SparkSpec {
+
+  private lazy val tableDir = {
+    val dir = Files.createTempDirectory("pq_images").toString
+    ImageFixture.write(spark, 2000, dir, partitions = 4)
+    dir
+  }
+
+  private def extractPlan = {
+    val images = ImageFixture.read(spark, tableDir)
+    val req = SnapshotRequest(
+      geometry = MultiPolygon(Seq(Fixtures.requestPolygon)),
+      geometryTypes = GeomType.all)
+    images.filter(PlanBuilder.geometryFilter(
+      req.geometry, col("lon"), col("lat"), col("cell")))
+  }
+
+  test("cell prefilter is pushed into the parquet scan") {
+    val plan = extractPlan.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("In(cell") ||
+      (pushed.contains("GreaterThanOrEqual(cell") && pushed.contains("LessThanOrEqual(cell")),
+      s"cell IN cover should reach the scan: $pushed")
+  }
+
+  test("scan reads only referenced columns (column pruning)") {
+    val narrow = extractPlan.select("image_id")
+    val plan = narrow.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("bytes"),
+      s"projection must prune the payload column: $readSchema")
+  }
+
+  test("region assignment join is broadcast (no fact-side shuffle)") {
+    val pts = extractPlan.select(col("image_id").as("pid"),
+      col("lon"), col("lat"), col("cell"))
+    val assigned = SpatialJoin.assignRegions(spark, pts)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "cover join must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "fact side must not shuffle for the join")
+    // exactly one exchange: the final per-point aggregation
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    assert(exchanges == 1, s"expected 1 shuffle, found $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("partial aggregation runs map-side before the exchange") {
+    val pts = extractPlan.select(col("image_id").as("pid"),
+      col("lon"), col("lat"), col("cell"))
+    val plan = SpatialJoin.assignRegions(spark, pts)
+      .queryExecution.executedPlan.toString
+    // ObjectHashAggregate(partial) ... Exchange ... ObjectHashAggregate(final)
+    val lines = plan.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("Aggregate") && l.contains("partial"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      "partial agg must sit below the exchange (map-side combine)")
+  }
+
+  test("whole-stage codegen spans the extract hot path") {
+    // the `*(n)` prefix in the short plan form marks WholeStageCodegen spans
+    val plan = extractPlan.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Filter") || plan.contains("WholeStageCodegen"),
+      s"extract filter must be codegen'd, not interpreted:\n${plan.take(500)}")
+  }
+
+  test("equi-join with a catalog-sized dim side broadcasts") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val plan = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
