@@ -209,6 +209,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(docs(s, d))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
+    "doc_rolling_fp" -> ((s, d) => TextOps.rollingFingerprint(docs(s, d))),
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(docs(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
@@ -286,6 +287,7 @@ object SparkEntry {
     "text_quality" -> TextOps.qualitySql,
     "lang_id" -> TextOps.langIdSql,
     "doc_fingerprint" -> TextOps.fingerprintSql,
+    "doc_rolling_fp" -> TextOps.rollingFingerprintSql,
     "dedup_exact" -> TextOps.dedupExactSql,
     "dedup_minhash_lsh" -> Dedup.minhashLshSql(),
     "dedup_simhash" -> Dedup.simhashSql,

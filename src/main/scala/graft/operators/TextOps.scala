@@ -118,6 +118,25 @@ object TextOps {
   val fingerprintSql: String =
     "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"
 
+  /** Rolling polynomial fingerprint (Rabin-Karp over token ids, mod 1e9+7):
+    * order-sensitive content hash — two docs with the same words in a
+    * different order fingerprint differently, unlike the md5-of-text only
+    * when whitespace differs. Left fold in both engines (Spark `aggregate`
+    * with a zero accumulator ≡ DuckDB `list_reduce` over 0-prepended list). */
+  def rollingFingerprint(docs: DataFrame): DataFrame = {
+    val ids = transform(tokensCol(col("text")), t => tokenIdCol(t))
+    docs.select(col("doc_id"),
+      aggregate(ids, lit(0L), (acc, x) =>
+        (acc * lit(31L) + x) % lit(1000000007L)).as("rfp"))
+  }
+
+  val rollingFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |    list_transform($tokensSql, t -> ${tokenIdSql("t")})),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rfp
+       |FROM documents""".stripMargin
+
   /** Exact dedup: per fingerprint keep the smallest doc_id, count the rest.
     * Map-side combine collapses duplicates before the shuffle; at 100 TB the
     * shuffle volume is |distinct fingerprints|, not |rows|. */

@@ -14,6 +14,10 @@ class EngineSpec extends SparkSpec {
   private lazy val points = GeoCols.derivedPoints(spark, sfDir)
     .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
 
+  test("entry() flagship returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("derived points are in range and deterministic") {
     assert(points.nonEmpty)
     assert(points.forall { case (_, lon, lat) =>
