@@ -96,6 +96,33 @@ object Bench {
     SpatialJoin.tileAssign(assigned, 2, 6).count()
   }
 
+  /** Host capability calibration at measurement time: a fixed spin workload
+    * at 1 and at HiCpus threads. On a healthy host the ratio ≈ HiCpus; in
+    * noisy-neighbor windows it collapses — and (measured) the collapse is
+    * NOT always visible as /proc/stat steal, so the bench self-reports both.
+    * Returns (ms1, msN, effectiveParallelism). */
+  private def calibrate(): (Double, Double, Double) = {
+    def spin(iters: Long): Double = {
+      var x = 1.00000001; var i = 0L
+      while (i < iters) { x = x * 1.0000001 % 3.7 + 0.1; i += 1 }
+      x
+    }
+    spin(20000000L) // JIT warm
+    val iters = 150000000L
+    val t1 = System.nanoTime()
+    spin(iters)
+    val ms1 = (System.nanoTime() - t1) / 1e6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(HiCpus)
+    val tn = System.nanoTime()
+    val futs = (0 until HiCpus).map(_ => pool.submit(new Runnable {
+      def run(): Unit = spin(iters)
+    }))
+    futs.foreach(_.get())
+    pool.shutdown()
+    val msN = (System.nanoTime() - tn) / 1e6
+    (ms1, msN, HiCpus * ms1 / msN)
+  }
+
   /** cumulative (busyTicks, totalTicks) incl. steal from /proc/stat. */
   private def cpuTicks(): (Long, Long) = {
     val f = scala.io.Source.fromFile("/proc/stat")
@@ -161,6 +188,7 @@ object Bench {
     gen.stop()
 
     // ---- scaling runs: identical job, two parallelism levels --------------
+    val (cal1, calN, calPar) = calibrate()
     val ((t8, n8, steal8), (t32, n32, steal32)) = timeFlagshipBoth()
     require(n8 == n32, s"nondeterministic flagship: $n8 vs $n32")
     val thr8 = totalImages / t8
@@ -178,7 +206,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"spatial_join_tile_assign_images_per_sec","value":${"%.1f".format(thr32)},"unit":"images/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${"%.3f".format(total)},"flagship":{"images":$totalImages,"rows_out":$n32,"n_cpus":$LoCpus,"n4_cpus":$HiCpus,"sec_localN":${"%.3f".format(t8)},"sec_local4N":${"%.3f".format(t32)},"images_per_sec_localN":${"%.1f".format(thr8)},"images_per_sec_local4N":${"%.1f".format(thr32)},"scaling_efficiency_N_to_4N":${"%.3f".format(eff)},"host_steal_pct_localN":${"%.1f".format(steal8 * 100)},"host_steal_pct_local4N":${"%.1f".format(steal32 * 100)}}}""")
+      s"""{"metric":"spatial_join_tile_assign_images_per_sec","value":${"%.1f".format(thr32)},"unit":"images/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${"%.3f".format(total)},"flagship":{"images":$totalImages,"rows_out":$n32,"n_cpus":$LoCpus,"n4_cpus":$HiCpus,"sec_localN":${"%.3f".format(t8)},"sec_local4N":${"%.3f".format(t32)},"images_per_sec_localN":${"%.1f".format(thr8)},"images_per_sec_local4N":${"%.1f".format(thr32)},"scaling_efficiency_N_to_4N":${"%.3f".format(eff)},"host_steal_pct_localN":${"%.1f".format(steal8 * 100)},"host_steal_pct_local4N":${"%.1f".format(steal32 * 100)},"host_calibration":{"spin_1t_ms":${"%.0f".format(cal1)},"spin_${HiCpus}t_ms":${"%.0f".format(calN)},"effective_parallelism_of_$HiCpus":${"%.1f".format(calPar)}}}}""")
     spark.stop()
   }
 }
