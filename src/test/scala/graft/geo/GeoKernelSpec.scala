@@ -134,6 +134,19 @@ class GeoKernelSpec extends AnyFunSuite {
     assert(math.abs(c.lon - 1.0) < 1e-12 && math.abs(c.lat - 1.0) < 1e-12)
   }
 
+  test("GeoJSON: parses Feature / FeatureCollection / MultiPolygon containers") {
+    val poly = """{"type":"Polygon","coordinates":[[[0,0],[2,0],[2,2],[0,2],[0,0]]]}"""
+    val feature = s"""{"type":"Feature","properties":{},"geometry":$poly}"""
+    val fc = s"""{"type":"FeatureCollection","features":[$feature,$feature]}"""
+    val mp = """{"type":"MultiPolygon","coordinates":[[[[0,0],[1,0],[1,1],[0,0]]],[[[5,5],[6,5],[6,6],[5,5]]]]}"""
+    assert(GeoJson.parsePolygon(poly).polys.size == 1)
+    assert(GeoJson.parsePolygon(feature).polys.size == 1)
+    assert(GeoJson.parsePolygon(fc).polys.size == 2)
+    assert(GeoJson.parsePolygon(mp).polys.size == 2)
+    assert(GeoJson.parsePolygon(poly).contains(1.0, 1.0))
+    assert(!GeoJson.parsePolygon(poly).contains(3.0, 1.0))
+  }
+
   test("GeoJSON: polygon roundtrip") {
     val json = GeoJson.polygonJson(Fixtures.requestPolygon)
     val parsed = GeoJson.parsePolygon(json)
