@@ -123,14 +123,16 @@ object Bench {
     (ms1, msN, HiCpus * ms1 / msN)
   }
 
-  /** cumulative (busyTicks, totalTicks) incl. steal from /proc/stat. */
-  private def cpuTicks(): (Long, Long) = {
-    val f = scala.io.Source.fromFile("/proc/stat")
+  /** cumulative (busyTicks, totalTicks) incl. steal from /proc/stat;
+    * (0, 0) when unavailable — instrumentation must never fail the bench. */
+  private def cpuTicks(): (Long, Long) =
     try {
-      val v = f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-      (v(7), v.take(8).sum) // steal, total
-    } finally f.close()
-  }
+      val f = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val v = f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (v(7), v.take(8).sum) // steal, total
+      } finally f.close()
+    } catch { case _: Throwable => (0L, 0L) }
 
   /** One timed flagship run at `cpus` (fresh session; caller interleaves).
     * Also reports the host steal share during the run — this sandbox VM has
@@ -188,7 +190,8 @@ object Bench {
     gen.stop()
 
     // ---- scaling runs: identical job, two parallelism levels --------------
-    val (cal1, calN, calPar) = calibrate()
+    val (cal1, calN, calPar) =
+      try calibrate() catch { case _: Throwable => (0.0, 0.0, 0.0) }
     val ((t8, n8, steal8), (t32, n32, steal32)) = timeFlagshipBoth()
     require(n8 == n32, s"nondeterministic flagship: $n8 vs $n32")
     val thr8 = totalImages / t8
