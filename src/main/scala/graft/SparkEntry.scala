@@ -216,6 +216,8 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardAdjacent(docs(s, d))),
     "ann_cosine" -> ((s, d) => Similarity.annBrute(
       s.read.parquet(s"$d/embeddings.parquet"))),
+    "ann_ivf" -> ((s, d) => Similarity.annIvf(
+      s.read.parquet(s"$d/embeddings.parquet"))),
     "embed_neardup_lsh" -> ((s, d) => Similarity.nearDupLsh(
       s.read.parquet(s"$d/embeddings.parquet"), tau = 0.3)),
     "q1_agg" -> ((s, d) => q1Agg(s, d)),
@@ -293,6 +295,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_jaccard" -> Dedup.jaccardAdjacentSql,
     "ann_cosine" -> Similarity.annBruteSql(),
+    "ann_ivf" -> Similarity.annIvfSql(),
     "embed_neardup_lsh" -> Similarity.nearDupLshSql(tau = 0.3),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
