@@ -28,10 +28,16 @@ object Lineage {
   final case class PartMeta(partitionId: Int, rowCount: Long, bytes: Long,
       status: String, wallMillis: Long)
 
+  // Files.list requires close; materialize the listing then release the handle
+  private def listDir(d: Path): Seq[Path] = {
+    val s = Files.list(d)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   def committedParts(outDir: String): Set[Int] = {
     val d = Paths.get(outDir, "parts")
     if (!Files.exists(d)) Set.empty
-    else Files.list(d).iterator().asScala
+    else listDir(d)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("p") && n.endsWith(".done"))
       .map(n => n.stripPrefix("p").stripSuffix(".done").toInt)
@@ -79,7 +85,7 @@ object Lineage {
     * the lineage DataFrame. */
   def finish(spark: SparkSession, outDir: String): DataFrame = {
     import spark.implicits._
-    val rows = Files.list(Paths.get(outDir, "parts")).iterator().asScala
+    val rows = listDir(Paths.get(outDir, "parts"))
       .filter(_.getFileName.toString.endsWith(".done"))
       .map { p =>
         val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)

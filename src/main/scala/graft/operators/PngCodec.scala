@@ -132,7 +132,12 @@ object PngCodec {
         val luma =
           if (bpp == 3)
             0.299 * cur(px * 3) + 0.587 * cur(px * 3 + 1) + 0.114 * cur(px * 3 + 2)
-          else cur(px).toDouble
+          else {
+            // bit-identical to avgHash64's formula on r=g=b (same IEEE-754
+            // association order), not the algebraically-equal raw sample
+            val v = cur(px).toDouble
+            0.299 * v + 0.587 * v + 0.114 * v
+          }
         s.blockSum(by * 8 + px / bw) += luma
         px += 1
       }
@@ -177,9 +182,12 @@ object PngCodec {
     var off = 0
     while (!inf.finished() && off < raw.length) {
       val n = inf.inflate(raw, off, raw.length - off)
-      if (n == 0 && inf.needsInput()) done = true
+      // same truncation guard as lumaHash: a stalled inflater on a malformed
+      // stream must error, not spin
+      if (n == 0 && !inf.finished())
+        throw new IllegalArgumentException(
+          s"truncated PNG stream at $off/${raw.length}")
       off += n
-      if (n == 0 && !inf.finished()) done = true
     }
     inf.end()
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.geo.Fixtures.Lcg
@@ -9,11 +9,16 @@ import graft.geo.Fixtures.Lcg
   * Array[Float] ×64, label).
   *
   * - brute-force cosine top-k: broadcast the (tiny) query set, one pass over
-  *   the fact table, per-query window top-k — the exactness baseline;
-  * - LSH-bucketed near-dup: sign-projection onto fixed hyperplanes buckets
-  *   vectors so the candidate self-join touches only same-bucket pairs — the
-  *   scale path (at 10^12 rows the bucket join replaces an impossible
-  *   all-pairs cross join; bucket count grows with plane count).
+  *   the fact table — the exactness baseline;
+  * - sign-LSH near-dup: hyperplane-sign buckets so the candidate self-join
+  *   touches only same-bucket pairs; plane count is a data-size parameter
+  *   ([[planesFor]]) and hot buckets can be salt-capped
+  *   ([[nearDupLshCapped]]) so no in-bucket self-join is ever quadratic in
+  *   the full table;
+  * - IVF: a coarse quantizer TRAINED on a deterministic sample (Lloyd
+  *   k-means, fixed init/iterations, both engines), fact-side assignment as
+  *   a narrow codegen'd argmin map, query probes as (qid, bucket) rows that
+  *   EQUI-join the inverted lists — BroadcastHashJoin, never a nested loop.
   *
   * Dot products are unrolled per-dimension column sums (left-associated, in
   * double), structurally identical in the DuckDB oracle → bit-identical
@@ -40,7 +45,11 @@ object Similarity {
     s"(${dotSql(aE, bE)} / (SQRT(${dotSql(aE, aE)}) * SQRT(${dotSql(bE, bE)})))"
 
   /** Exact top-k cosine neighbors for query vectors (vec_id < nQueries).
-    * Output: (qid, rank, vec_id, cos). */
+    * Output: (qid, rank, vec_id, cos).
+    *
+    * Deliberately a BroadcastNestedLoopJoin: brute force means every
+    * (query, row) pair is scored — that IS the operator. The scale paths are
+    * [[annIvf]] (equi-join on probed lists) and [[nearDupLshCapped]]. */
   def annBrute(emb: DataFrame, nQueries: Int = 4, k: Int = 5): DataFrame = {
     // norms are projected ONCE per side before the join (same arithmetic as
     // the per-pair oracle expression → identical doubles, 3× fewer flops)
@@ -73,138 +82,46 @@ object Similarity {
   val Planes = 8
   val ProjDims = 16 // project on leading dims: keeps the oracle SQL compact
 
-  /** Fixed random hyperplanes (literal coefficients, deterministic LCG). */
-  val hyperplanes: Seq[Array[Double]] = {
-    val rng = new Lcg(11L)
-    Seq.fill(Planes)(Array.fill(ProjDims)(rng.nextDouble() * 2 - 1))
+  /** Plane count as a function of data size: buckets ≈ n / targetBucketSize,
+    * so the expected in-bucket self-join stays O(n · targetBucketSize) and
+    * never degrades to quadratic as n grows (the fixed-width trap: 8 planes =
+    * 256 buckets forever → ~4B vectors per bucket at 10^12 rows). */
+  def planesFor(n: Long, targetBucketSize: Long = 1024L): Int = {
+    val want = math.max(1L, n / math.max(1L, targetBucketSize))
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(want) // ceil-ish log2
+    math.min(24, math.max(Planes, bits))
   }
 
-  def bucketCol(e: Column): Column =
-    (0 until Planes).map { j =>
+  /** Fixed random hyperplanes (literal coefficients, deterministic LCG). */
+  def hyperplanes(planes: Int): Seq[Array[Double]] = {
+    val rng = new Lcg(11L)
+    Seq.fill(planes)(Array.fill(ProjDims)(rng.nextDouble() * 2 - 1))
+  }
+
+  def bucketCol(e: Column, planes: Int = Planes): Column = {
+    val hp = hyperplanes(planes)
+    (0 until planes).map { j =>
       val proj = (0 until ProjDims).map(i =>
-        element_at(e, i + 1).cast("double") * lit(hyperplanes(j)(i))).reduce(_ + _)
+        element_at(e, i + 1).cast("double") * lit(hp(j)(i))).reduce(_ + _)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
-  def bucketSql(eE: String): String =
-    (0 until Planes).map { j =>
+  def bucketSql(eE: String, planes: Int = Planes): String = {
+    val hp = hyperplanes(planes)
+    (0 until planes).map { j =>
       val proj = (0 until ProjDims).map(i =>
-        s"$eE[${i + 1}]::DOUBLE * ${hyperplanes(j)(i)}").mkString(" + ")
+        s"$eE[${i + 1}]::DOUBLE * ${hp(j)(i)}").mkString(" + ")
       s"(CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
-
-  // ---- IVF (inverted-file) bucketing -----------------------------------------
-  // Coarse quantizer: fixed literal centroids (deterministic LCG); every
-  // vector goes to its nearest centroid's list; queries probe the nprobe
-  // nearest lists. At 10^12 rows this is the classic ANN scale path: the
-  // candidate join touches only probed lists, and the centroid assignment is
-  // a narrow codegen'd map.
-
-  val Centroids = 8
-
-  val centroids: Seq[Array[Double]] = {
-    val rng = new Lcg(21L)
-    Seq.fill(Centroids)(Array.fill(Dims)(rng.nextDouble() * 0.2 - 0.1))
   }
 
-  /** Squared-distance score to centroid c: cc - 2·(e·c) (the e·e term is
-    * constant per row and argmin-irrelevant). */
-  def centroidScoreCol(e: Column, c: Int): Column = {
-    val cc = centroids(c).map(x => x * x).sum
-    val dot = (0 until Dims).map(i =>
-      element_at(e, i + 1).cast("double") * lit(centroids(c)(i))).reduce(_ + _)
-    lit(cc) - lit(2.0) * dot
-  }
-
-  def centroidScoreSql(eE: String, c: Int): String = {
-    val cc = centroids(c).map(x => x * x).sum
-    val dot = (0 until Dims).map(i =>
-      s"$eE[${i + 1}]::DOUBLE * ${centroids(c)(i)}").mkString(" + ")
-    s"($cc - 2.0 * ($dot))"
-  }
-
-  /** first-index argmin over score columns s0..s{n-1} (ties → lowest index;
-    * identical CASE shape in the SQL twin). */
-  private def argminCol(scores: Seq[Column]): Column = {
-    val m = least(scores: _*)
-    scores.zipWithIndex.tail.foldLeft(when(scores.head === m, lit(0))) {
-      case (acc, (s, i)) => acc.when(s === m, lit(i))
-    }.otherwise(lit(-1))
-  }
-
-  /** (vec_id, embedding, bucket) — IVF list assignment. */
-  def ivfAssign(emb: DataFrame): DataFrame = {
-    val scored = (0 until Centroids).foldLeft(emb) { (df, c) =>
-      df.withColumn(s"s$c", centroidScoreCol(col("embedding"), c))
-    }
-    val scores = (0 until Centroids).map(c => col(s"s$c"))
-    scored.select(col("vec_id"), col("embedding"),
-      argminCol(scores).as("bucket"))
-  }
-
-  /** IVF top-k: probe the 2 nearest lists per query, exact cosine rank
-    * within candidates. Output (qid, rank, vec_id, cos). */
-  def annIvf(emb: DataFrame, nQueries: Int = 4, k: Int = 5): DataFrame = {
-    val assigned = ivfAssign(emb)
-    val qScored = (0 until Centroids).foldLeft(
-      emb.filter(col("vec_id") < nQueries)) { (df, c) =>
-      df.withColumn(s"s$c", centroidScoreCol(col("embedding"), c))
-    }
-    val scores = (0 until Centroids).map(c => col(s"s$c"))
-    val b1 = argminCol(scores)
-    // second-nearest: mask the winner with +inf, argmin again
-    val masked = scores.zipWithIndex.map { case (s, i) =>
-      when(b1 === i, lit(Double.MaxValue)).otherwise(s)
-    }
-    val q = qScored.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      sqrt(dotCol(col("embedding"), col("embedding"))).as("qn"),
-      b1.as("b1"), argminCol(masked).as("b2"))
-    val cand = assigned.select(col("vec_id"), col("embedding"), col("bucket"),
-      sqrt(dotCol(col("embedding"), col("embedding"))).as("n"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    cand.join(broadcast(q),
-        (col("bucket") === col("b1") || col("bucket") === col("b2")) &&
-          col("vec_id") =!= col("qid"))
-      .withColumn("cos",
-        round(dotCol(col("qe"), col("embedding")) / (col("qn") * col("n")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
-  }
-
-  def annIvfSql(nQueries: Int = 4, k: Int = 5): String = {
-    val scoreCols = (0 until Centroids).map(c =>
-      s"${centroidScoreSql("embedding", c)} AS s$c").mkString(", ")
-    val sNames = (0 until Centroids).map(c => s"s$c")
-    val m = s"LEAST(${sNames.mkString(", ")})"
-    val b1 = sNames.zipWithIndex.map { case (s, i) =>
-      s"WHEN $s = m THEN $i" }.mkString("CASE ", " ", " ELSE -1 END")
-    val maskedNames = (0 until Centroids).map(c =>
-      s"(CASE WHEN b1 = $c THEN 1.7976931348623157E308 ELSE s$c END)")
-    val m2 = s"LEAST(${maskedNames.mkString(", ")})"
-    val b2 = maskedNames.zipWithIndex.map { case (s, i) =>
-      s"WHEN $s = m2 THEN $i" }.mkString("CASE ", " ", " ELSE -1 END")
-    s"""WITH scored AS (SELECT vec_id, embedding, $scoreCols FROM embeddings),
-       |assigned AS (SELECT vec_id, embedding, $b1 AS bucket
-       |             FROM (SELECT *, $m AS m FROM scored)),
-       |q0 AS (SELECT *, $m AS m FROM scored WHERE vec_id < $nQueries),
-       |q1 AS (SELECT vec_id AS qid, embedding AS qe, $b1 AS b1, ${sNames.mkString(", ")} FROM q0),
-       |q AS (SELECT qid, qe, b1, $b2 AS b2
-       |      FROM (SELECT *, $m2 AS m2 FROM q1)),
-       |d AS (SELECT q.qid, a.vec_id,
-       |        round(${cosineSql("q.qe", "a.embedding")}, 6) AS cos
-       |      FROM assigned a JOIN q
-       |        ON (a.bucket = q.b1 OR a.bucket = q.b2) AND a.vec_id <> q.qid),
-       |r AS (SELECT qid, vec_id, cos,
-       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
-       |      FROM d)
-       |SELECT qid, rank, vec_id, cos FROM r WHERE rank <= $k""".stripMargin
-  }
-
-  /** Near-duplicate pairs: same LSH bucket AND cosine ≥ tau. */
-  def nearDupLsh(emb: DataFrame, tau: Double = 0.9): DataFrame = {
+  /** Near-duplicate pairs: same LSH bucket AND cosine ≥ tau. The self-join is
+    * an equi-join on `bucket` (shuffled hash/SMJ at scale — never a nested
+    * loop); use [[nearDupLshCapped]] when bucket skew is possible. */
+  def nearDupLsh(emb: DataFrame, tau: Double = 0.9, planes: Int = Planes): DataFrame = {
     val b = emb.select(col("vec_id"), col("embedding"),
-      bucketCol(col("embedding")).as("bucket"),
+      bucketCol(col("embedding"), planes).as("bucket"),
       sqrt(dotCol(col("embedding"), col("embedding"))).as("n"))
     val left = b.select(col("bucket"), col("vec_id").as("vid1"),
       col("embedding").as("e1"), col("n").as("n1"))
@@ -218,11 +135,200 @@ object Similarity {
       .select(col("vid1"), col("vid2"), col("cos"))
   }
 
-  def nearDupLshSql(tau: Double = 0.9): String =
-    s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+  def nearDupLshSql(tau: Double = 0.9, planes: Int = Planes): String =
+    s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding", planes)} AS bucket
        |           FROM embeddings),
        |p AS (SELECT l.vec_id AS vid1, r.vec_id AS vid2,
        |        round(${cosineSql("l.embedding", "r.embedding")}, 6) AS cos
        |      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
        |SELECT vid1, vid2, cos FROM p WHERE cos >= $tau""".stripMargin
+
+  /** Near-dup with a hot-bucket cap: buckets larger than `cap` are split into
+    * ceil(size/cap) salt sub-buckets and pairs are generated within a
+    * sub-bucket only. Bounds every join group to ~cap rows — the worst-case
+    * skewed bucket (boilerplate/duplicate-heavy data) costs O(size · cap)
+    * instead of O(size²). Trades recall on capped buckets (cross-salt pairs
+    * are skipped), the standard bounded-candidates LSH compromise; buckets
+    * under the cap are exhaustive and identical to [[nearDupLsh]]. */
+  def nearDupLshCapped(emb: DataFrame, tau: Double = 0.9,
+      planes: Int = Planes, cap: Int = 1024): DataFrame = {
+    val b = emb.select(col("vec_id"), col("embedding"),
+      bucketCol(col("embedding"), planes).as("bucket"),
+      sqrt(dotCol(col("embedding"), col("embedding"))).as("n"))
+    // bucket histogram is bounded by 2^planes rows → broadcast
+    val sizes = b.groupBy(col("bucket")).agg(count(lit(1)).as("bsz"))
+    val salted = b.join(broadcast(sizes), Seq("bucket"))
+      .withColumn("nsub",
+        greatest(lit(1L), ceil(col("bsz").cast("double") / lit(cap.toDouble)).cast("long")))
+      .withColumn("salt", pmod(xxhash64(col("vec_id")), col("nsub")))
+    val left = salted.select(col("bucket"), col("salt"), col("vec_id").as("vid1"),
+      col("embedding").as("e1"), col("n").as("n1"))
+    val right = salted.select(col("bucket"), col("salt"), col("vec_id").as("vid2"),
+      col("embedding").as("e2"), col("n").as("n2"))
+    left.join(right, Seq("bucket", "salt"))
+      .filter(col("vid1") < col("vid2"))
+      .withColumn("cos",
+        round(dotCol(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cos") >= tau)
+      .select(col("vid1"), col("vid2"), col("cos"))
+  }
+
+  // ---- IVF (inverted-file) with a TRAINED coarse quantizer -------------------
+  //
+  // Lloyd k-means with everything pinned so the DuckDB oracle reproduces it
+  // relationally:
+  //  - training sample: vec_id % SampleMod == 0 (a fixed-rate deterministic
+  //    sample — at 10^12 rows SampleMod grows so the sample stays bounded;
+  //    quantizers are conventionally trained on samples);
+  //  - init: the K sample vectors with vec_id < K·SampleMod, centroid id
+  //    c = vec_id / SampleMod;
+  //  - Iters Lloyd rounds; assignment tiebreak = lowest centroid id; new
+  //    centroid = per-dimension mean ROUNDED to 6 decimals (absorbs
+  //    partial-aggregation float-order noise between engines);
+  //  - empty clusters drop out (both engines drop them identically).
+  //
+  // Engine-side execution: the trained centroids are collected to the driver
+  // (K×Dims doubles — tiny) and inlined as literals, so full-table assignment
+  // is a narrow whole-stage-codegen'd argmin map with NO join, and query
+  // probes are (qid, bucket) rows that EQUI-join the lists.
+
+  val DefaultK = 8
+  val SampleMod = 4
+  val Iters = 2
+  val DefaultNProbe = 2
+
+  /** Squared-distance argmin score vs a literal centroid: cc - 2·(e·c)
+    * (the e·e term is constant per row and argmin-irrelevant). */
+  def centroidScoreCol(e: Column, cent: Array[Double]): Column = {
+    val cc = cent.map(x => x * x).sum // left fold, same order as dotSql(cent,cent)
+    val dot = cent.zipWithIndex.map { case (cv, i) =>
+      element_at(e, i + 1).cast("double") * lit(cv) }.reduce(_ + _)
+    lit(cc) - lit(2.0) * dot
+  }
+
+  /** Same score with the centroid as a SQL column expression (oracle side). */
+  def centroidScoreSql(eE: String, centE: String): String =
+    s"(${dotSql(centE, centE)} - 2.0 * ${dotSql(eE, centE)})"
+
+  /** first-match argmin over (centroidId, score) columns — ties → lowest id;
+    * the SQL twin's ROW_NUMBER ... ORDER BY (score, c) picks the same. */
+  def argminCol(scores: Seq[(Int, Column)]): Column = {
+    val m = least(scores.map(_._2): _*)
+    scores.tail.foldLeft(when(scores.head._2 === m, lit(scores.head._1))) {
+      case (acc, (c, s)) => acc.when(s === m, lit(c))
+    }.otherwise(lit(-1))
+  }
+
+  /** Train the coarse quantizer: deterministic sample → fixed init → `Iters`
+    * Lloyd rounds as DataFrame aggregations. Returns (centroidId, centroid)
+    * sorted by id — K×Dims doubles, legitimately driver-sized. */
+  def trainCentroids(emb: DataFrame, k: Int = DefaultK,
+      sampleMod: Int = SampleMod, iters: Int = Iters): Seq[(Int, Array[Double])] = {
+    val samp = emb.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id"), col("embedding"))
+    var cents: Seq[(Int, Array[Double])] = samp
+      .filter(col("vec_id") < k.toLong * sampleMod)
+      .select((col("vec_id") / sampleMod).cast("int").as("c"), col("embedding"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val meanCols = (0 until Dims).map(i =>
+      round(avg(element_at(col("embedding"), i + 1).cast("double")), 6).as(s"m$i"))
+    for (_ <- 0 until iters) {
+      val scores = cents.map { case (c, cent) =>
+        (c, centroidScoreCol(col("embedding"), cent)) }
+      cents = samp
+        .select(col("embedding"), argminCol(scores).as("c"))
+        .groupBy(col("c")).agg(meanCols.head, meanCols.tail: _*)
+        .collect().toSeq
+        .map(r => (r.getInt(0), (1 to Dims).map(r.getDouble).toArray))
+        .sortBy(_._1)
+    }
+    cents
+  }
+
+  /** (vec_id, embedding, bucket) — inverted-list assignment as a narrow map
+    * over literal trained centroids (no join, no shuffle). */
+  def ivfAssign(emb: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val scores = cents.map { case (c, cent) =>
+      (c, centroidScoreCol(col("embedding"), cent)) }
+    emb.select(col("vec_id"), col("embedding"), argminCol(scores).as("bucket"))
+  }
+
+  /** IVF top-k with trained centroids: probe the `nprobe` nearest lists per
+    * query, exact cosine rank within candidates. The probe list is exploded
+    * to (qid, bucket) rows so the candidate join is an EQUI-join on bucket
+    * (BroadcastHashJoin with tiny query side) — the fact table is touched
+    * once and only probed-list rows reach the scorer.
+    * Output (qid, rank, vec_id, cos). */
+  def annIvf(emb: DataFrame, nQueries: Int = 4, k: Int = 5,
+      kList: Int = DefaultK, nprobe: Int = DefaultNProbe): DataFrame = {
+    val cents = trainCentroids(emb, kList)
+    val assigned = ivfAssign(emb, cents)
+      .withColumn("n", sqrt(dotCol(col("embedding"), col("embedding"))))
+    // query probes: rank centroids per query, keep nprobe — the query side is
+    // tiny, so the (qid, c, score) explode is cheap and scales with queries
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        sqrt(dotCol(col("embedding"), col("embedding"))).as("qn"))
+    val scoreRows = explode(array(cents.map { case (c, cent) =>
+      struct(lit(c).as("bucket"), centroidScoreCol(col("qe"), cent).as("score"))
+    }: _*)).as("cs")
+    val pw = Window.partitionBy(col("qid")).orderBy(col("score"), col("bucket"))
+    val probes = q.select(col("qid"), col("qe"), col("qn"), scoreRows)
+      .select(col("qid"), col("qe"), col("qn"),
+        col("cs.bucket").as("bucket"), col("cs.score").as("score"))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        round(dotCol(col("qe"), col("embedding")) / (col("qn") * col("n")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Oracle twin: the same sample → init → Lloyd rounds → assignment →
+    * probe-rank → equi-join pipeline, fully relational (the oracle has no
+    * driver to collect to; identical doubles because every expression is
+    * structurally identical and means are rounded on both sides). */
+  def annIvfSql(nQueries: Int = 4, k: Int = 5,
+      kList: Int = DefaultK, nprobe: Int = DefaultNProbe): String = {
+    val meanList = (0 until Dims).map(i =>
+      s"round(avg(embedding[${i + 1}]::DOUBLE), 6)").mkString("[", ", ", "]")
+    def lloyd(prev: String, a: String, next: String): String =
+      s"""$a AS (SELECT s.vec_id, s.embedding, c.c,
+         |  ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         |    ORDER BY ${centroidScoreSql("s.embedding", "c.cent")}, c.c) AS rn
+         |  FROM samp s CROSS JOIN $prev c),
+         |$next AS (SELECT c, $meanList AS cent FROM $a WHERE rn = 1 GROUP BY c)""".stripMargin
+    val rounds = (0 until Iters).map(i => lloyd(s"c$i", s"a$i", s"c${i + 1}"))
+      .mkString(",\n")
+    val cFinal = s"c$Iters"
+    s"""WITH samp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $SampleMod = 0),
+       |c0 AS (SELECT CAST(vec_id // $SampleMod AS INT) AS c, embedding::DOUBLE[] AS cent
+       |       FROM samp WHERE vec_id < ${kList.toLong * SampleMod}),
+       |$rounds,
+       |af AS (SELECT e.vec_id, e.embedding, c.c AS bucket,
+       |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${centroidScoreSql("e.embedding", "c.cent")}, c.c) AS rn
+       |  FROM embeddings e CROSS JOIN $cFinal c),
+       |assigned AS (SELECT vec_id, embedding, bucket FROM af WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
+       |pr AS (SELECT q.qid, q.qe, c.c AS bucket,
+       |  ROW_NUMBER() OVER (PARTITION BY q.qid
+       |    ORDER BY ${centroidScoreSql("q.qe", "c.cent")}, c.c) AS prn
+       |  FROM q CROSS JOIN $cFinal c),
+       |probes AS (SELECT qid, qe, bucket FROM pr WHERE prn <= $nprobe),
+       |d AS (SELECT p.qid, a.vec_id,
+       |        round(${cosineSql("p.qe", "a.embedding")}, 6) AS cos
+       |      FROM assigned a JOIN probes p ON a.bucket = p.bucket AND a.vec_id <> p.qid),
+       |r AS (SELECT qid, vec_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |      FROM d)
+       |SELECT qid, rank, vec_id, cos FROM r WHERE rank <= $k""".stripMargin
+  }
 }
