@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.geo.{Cell, Geo}
@@ -10,20 +10,25 @@ import graft.functions.GeoCols
   * refine (BASELINE.json north_star; SURVEY.md J5 — no literal reference
   * analogue, the closest is the GIST-indexed planning probe builder.py:48-56).
   *
-  * Algorithm (distributed, driver-coordinated):
-  *  1. each query point q gets the cell disk of Chebyshev radius r around its
-  *     res-`res` cell; the (qid, cell) candidate map is broadcast — the fact
-  *     side is filtered by a broadcast hash join on its ONE cell id, so the
-  *     scan stays shuffle-free;
-  *  2. per query, top-k by exact haversine (window over the tiny candidate
-  *     set);
-  *  3. exactness check: the kth distance must be ≤ the great-circle distance
-  *     from q to the nearest uncovered region (conservative bound from the
-  *     disk's lon/lat box). Queries that fail expand r and repeat.
+  * Fully distributed: queries are a DataFrame end to end.
+  *  1. each unsatisfied query explodes its cell disk (Chebyshev radius r) to
+  *     (qid, cell) rows on the executors; the fact side equi-joins that
+  *     broadcast on its ONE cell id — a BroadcastHashJoin, the fact table is
+  *     never shuffled;
+  *  2. per query, top-k by exact haversine (window over the small candidate
+  *     set — only candidate rows move, never the fact table);
+  *  3. exactness: the kth distance must be ≤ a conservative bound on the
+  *     distance to the nearest uncovered region (from the disk's lon/lat
+  *     box, computed per query ON the query DataFrame). Unsatisfied queries
+  *     double r and repeat; satisfied ones retire with their (persisted,
+  *     k-row) result slice.
   *
-  * At 10^12 rows the candidate join is the same broadcast shape as
-  * [[SpatialJoin]]; the per-query top-k window shuffles only candidate rows
-  * (thousands), never the fact table.
+  * The only driver-side decision per round is "are any queries unsatisfied"
+  * (a boolean action on the query-state DataFrame); candidates, distances,
+  * and results never leave the executors. At 10^12 rows the candidate join
+  * is the same broadcast shape as [[SpatialJoin]]; re-scanning the fact
+  * table per round beats caching it (you don't cache 100 TB), and in
+  * practice round counts are 1-2 because the disk quadruples each round.
   */
 object Knn {
 
@@ -44,7 +49,7 @@ object Knn {
   }
 
   /** Box of the cell disk of radius r around (x0,y0) at res. */
-  private def diskBox(res: Int, lon: Double, lat: Double, r: Int): (Double, Double, Double, Double) = {
+  private[operators] def diskBox(res: Int, lon: Double, lat: Double, r: Int): (Double, Double, Double, Double) = {
     val n = 1L << res
     val x = Cell.xOf(res, lon); val y = Cell.yOf(res, lat)
     val w = 360.0 / n; val h = 180.0 / n
@@ -55,64 +60,83 @@ object Knn {
     (minLon, minLat, maxLon, maxLat)
   }
 
-  /** points: (pid, lon, lat); queries: (qid, lon, lat) literals.
+  /** Exactness bound for a query's current disk; Double.MaxValue once the
+    * disk covers the whole globe (nothing left to expand into). */
+  private def boundM(res: Int)(lon: Double, lat: Double, r: Int): Double = {
+    val (minLon, minLat, maxLon, maxLat) = diskBox(res, lon, lat, r)
+    val wholeGlobe = minLon <= -180.0 && maxLon >= 180.0 &&
+      minLat <= -90.0 && maxLat >= 90.0
+    if (wholeGlobe) Double.MaxValue
+    else distToBoxEdge(lon, lat, minLon, minLat, maxLon, maxLat)
+  }
+
+  /** One expansion round's top-k for the current query state
+    * (qid, qlon, qlat, radius): disk cells exploded per query, broadcast
+    * equi-join on `cell`, per-query window top-k. Exposed for plan-quality
+    * assertions. */
+  private[graft] def roundTopK(fact: DataFrame, qs: DataFrame, k: Int, res: Int): DataFrame = {
+    val diskCells = udf((lon: Double, lat: Double, r: Int) =>
+      Cell.disk(Cell.cellAt(res, lon, lat), r).toArray)
+    val cand = qs.select(col("qid"),
+      explode(diskCells(col("qlon"), col("qlat"), col("radius"))).as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist_m"), col("pid"))
+    fact
+      .join(broadcast(cand), Seq("cell"))
+      .join(broadcast(qs.select(col("qid"), col("qlon"), col("qlat"))), Seq("qid"))
+      .withColumn("dist_m", GeoCols.haversineMetersCol(
+        col("lon"), col("lat"), col("qlon"), col("qlat")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("pid"),
+        round(col("dist_m"), 3).as("dist_m"))
+  }
+
+  /** points: (pid, lon, lat); queries: (qid, qlon, qlat) DataFrame.
     * Returns (qid, rank, pid, dist_m) — exact k nearest per query. */
+  def knn(
+      points: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      res: Int = 4,
+      maxRounds: Int = 8): DataFrame = {
+    val boundUdf = udf(boundM(res) _)
+    val fact = points
+      .withColumn("cell", GeoCols.cellCol(res, col("lon"), col("lat")))
+    var qs = queries.select(col("qid"), col("qlon"), col("qlat"))
+      .withColumn("radius", lit(1))
+    var retired = Vector.empty[DataFrame]
+    var iter = 0
+    var remaining = true
+    while (remaining && iter < maxRounds) {
+      iter += 1
+      val qcur = qs.persist() // |queries| rows
+      val topk = roundTopK(fact, qcur, k, res).persist() // ≤ k·|queries| rows
+      val stats = topk.groupBy(col("qid"))
+        .agg(max(col("dist_m")).as("kd"), count(lit(1)).as("n"))
+      val state = qcur.join(stats, Seq("qid"), "left")
+        .withColumn("bound", boundUdf(col("qlon"), col("qlat"), col("radius")))
+        .withColumn("sat", (col("bound") === lit(Double.MaxValue)) ||
+          (coalesce(col("n"), lit(0L)) >= k && col("kd") <= col("bound")))
+      retired :+= topk.join(
+        broadcast(state.filter(col("sat")).select(col("qid"))),
+        Seq("qid"), "leftsemi")
+      qs = state.filter(!col("sat"))
+        .select(col("qid"), col("qlon"), col("qlat"),
+          (col("radius") * 2).as("radius"))
+      remaining = !qs.isEmpty // the round's one driver-side boolean
+    }
+    require(!remaining, s"kNN did not converge in $maxRounds rounds")
+    retired.reduce(_.unionByName(_))
+  }
+
+  /** Literal-query convenience wrapper (SparkEntry gate shape). */
   def knn(
       spark: SparkSession,
       points: DataFrame,
       queries: Seq[(Int, Double, Double)],
-      k: Int,
-      res: Int = 4,
-      maxRounds: Int = 8): DataFrame = {
+      k: Int): DataFrame = {
     import spark.implicits._
-    val fact = points
-      .withColumn("cell", GeoCols.cellCol(res, col("lon"), col("lat")))
-      .persist()
-    try {
-      var radius = Map(queries.map(q => q._1 -> 1): _*)
-      var result: DataFrame = null
-      var done = false
-      var iter = 0
-      while (!done && iter < maxRounds) {
-        iter += 1
-        val cand = queries.flatMap { case (qid, qlon, qlat) =>
-          Cell.disk(Cell.cellAt(res, qlon, qlat), radius(qid)).map(c => (qid, c))
-        }.toDF("qid", "cell")
-        val qdf = queries.toDF("qid", "qlon", "qlat")
-        val w = Window.partitionBy(col("qid")).orderBy(col("dist_m"), col("pid"))
-        val topk = fact
-          .join(broadcast(cand), Seq("cell"))
-          .join(broadcast(qdf), Seq("qid"))
-          .withColumn("dist_m", GeoCols.haversineMetersCol(
-            col("lon"), col("lat"), col("qlon"), col("qlat")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= k)
-          .select(col("qid"), col("rank"), col("pid"),
-            round(col("dist_m"), 3).as("dist_m"))
-        val kth = topk.groupBy("qid")
-          .agg(max(col("dist_m")).as("kd"), count(lit(1)).as("n"))
-          .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getLong(2)))).toMap
-        val unsat = queries.filter { case (qid, qlon, qlat) =>
-          val (minLon, minLat, maxLon, maxLat) = diskBox(res, qlon, qlat, radius(qid))
-          val bound = distToBoxEdge(qlon, qlat, minLon, minLat, maxLon, maxLat)
-          val wholeGlobe = minLon <= -180.0 && maxLon >= 180.0 &&
-            minLat <= -90.0 && maxLat >= 90.0
-          kth.get(qid) match {
-            case Some((kd, n)) if (n >= k && kd <= bound) || wholeGlobe => false
-            case Some((_, _)) => true
-            case None => !wholeGlobe
-          }
-        }
-        if (unsat.isEmpty) { result = topk; done = true }
-        else radius = radius ++ unsat.map(q => q._1 -> (radius(q._1) * 2))
-      }
-      require(done, s"kNN did not converge in $maxRounds rounds")
-      // materialize (k × |queries| rows) so callers don't recompute the
-      // expansion plan after the candidate cache is unpersisted
-      result.collect().toSeq
-        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
-        .toDF("qid", "rank", "pid", "dist_m")
-    } finally fact.unpersist()
+    knn(points, queries.toDF("qid", "qlon", "qlat"), k)
   }
 
   /** DuckDB oracle: brute-force haversine + window top-k (identical rounding

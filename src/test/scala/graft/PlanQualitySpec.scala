@@ -79,6 +79,28 @@ class PlanQualitySpec extends SparkSpec {
       s"extract filter must be codegen'd, not interpreted:\n${plan.take(500)}")
   }
 
+  test("knn candidate join is a broadcast equi-join and results stay distributed") {
+    import spark.implicits._
+    import graft.operators.Knn
+    val fact = graft.functions.GeoCols
+      .derivedPoints(spark, "/root/testdata/sf0.001")
+      .withColumn("cell", graft.functions.GeoCols.cellCol(4, col("lon"), col("lat")))
+    val qs = Fixtures.knnQueries.toDF("qid", "qlon", "qlat").withColumn("radius", lit(1))
+    val round = Knn.roundTopK(fact, qs, k = 8, res = 4)
+    val rplan = round.queryExecution.executedPlan.toString
+    assert(rplan.contains("BroadcastHashJoin"), s"cell join must broadcast:\n${rplan.take(2000)}")
+    assert(!rplan.contains("SortMergeJoin"), "fact side must not shuffle for the candidate join")
+    assert(!rplan.contains("BroadcastNestedLoopJoin") && !rplan.contains("CartesianProduct"))
+    // end to end: the result must NOT be a re-parallelized driver collection —
+    // the round-1 implementation collect()ed and rebuilt a LocalRelation; now
+    // results are executor-resident cached slices
+    val result = Knn.knn(spark, graft.functions.GeoCols
+      .derivedPoints(spark, "/root/testdata/sf0.001"), Fixtures.knnQueries, k = 8)
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"retired top-k slices must be executor-cached, not driver-collected:\n${plan.take(1500)}")
+  }
+
   test("equi-join with a catalog-sized dim side broadcasts") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
