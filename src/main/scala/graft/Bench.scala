@@ -80,10 +80,13 @@ object Bench {
     val req = SnapshotRequest(
       geometry = graft.geo.MultiPolygon(Seq(benchPolygon)),
       geometryTypes = GeomType.all)
-    // PIP filter first (cheap, pushes selectivity ahead of the decode)
+    // kind-aware intersect filter first (cheap, pushes selectivity ahead of
+    // the decode); vertex columns are ingest-time stored, so the predicate
+    // stays attribute-sized (no scan-time hash-chain inlining)
     val extracted = images
       .filter(PlanBuilder.geometryFilter(
-        req.geometry, col("lon"), col("lat"), col("cell")))
+        req.geometry, col("kind"), col("lon"), col("lat"), col("cell"),
+        (0 to 3).map(i => col(s"x$i")), (0 to 3).map(i => col(s"y$i"))))
       .select(col("image_id"), col("lon"), col("lat"), col("cell"),
         col("bytes"), col("phash"))
     val decoded = graft.operators.Multimodal.verifyPayloadLite(extracted)

@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.GeoCols
-import graft.geo.Fixtures
+import graft.geo.{Fixtures, MultiPolygon}
+import graft.model.{GeomType, SnapshotRequest, TagFilter, TypeFilters}
 import graft.operators.{Dedup, Knn, Similarity, SpatialJoin, TextOps}
+import graft.plan.PlanBuilder
 
 /** Driver contract — every operator from SURVEY.md §2 that is implemented has
   * a `queries` entry, and a DuckDB-runnable `oracleSql` twin where ANSI SQL
@@ -95,6 +97,33 @@ object SparkEntry {
     pts(s, dir).select(col("pid"),
       col("lon").as("longitude"), col("lat").as("latitude"),
       lit("POINT").as("geom_type"))
+
+  /** F8 + real non-point geometry: line/polygon features extracted through
+    * PlanBuilder.build — kind routing (raw.lua:128-180), segment/region
+    * intersection refine, tag filter + attribute projection. */
+  private def geoMultiExtract(s: SparkSession, dir: String): DataFrame = {
+    val req = SnapshotRequest(
+      geometry = MultiPolygon(Seq(Fixtures.requestPolygon)),
+      geometryTypes = GeomType.all,
+      allGeometry = Some(TypeFilters(
+        tags = Some(TagFilter.JoinOr(Map("parity" -> Seq("1", "3", "5")))),
+        attributes = Some(Seq("parity")))))
+    PlanBuilder.build(GeoCols.derivedFeatures(s, dir), req)
+  }
+
+  /** P4 centroid=true through PlanBuilder.build: ST_Centroid(geom) AS geom
+    * (builder.py:157) — identity for points, length-weighted midpoint for
+    * lines, shoelace centroid for polygons. */
+  private def geoCentroid(s: SparkSession, dir: String): DataFrame = {
+    val req = SnapshotRequest(
+      geometry = MultiPolygon(Seq(Fixtures.requestPolygon)),
+      geometryTypes = GeomType.all,
+      centroid = true,
+      allGeometry = Some(TypeFilters(attributes = Some(Seq("parity")))))
+    PlanBuilder.build(GeoCols.derivedFeatures(s, dir), req)
+      .select(col("image_id"), col("osm_type"), col("parity"),
+        round(col("lon"), 6).as("clon"), round(col("lat"), 6).as("clat"))
+  }
 
   /** W2-ish window ops: row_number + running sum per user over events. */
   private def w1Window(s: SparkSession, dir: String): DataFrame = {
@@ -229,6 +258,8 @@ object SparkEntry {
     "geo_region_join" -> ((s, d) => geoRegionJoin(s, d)),
     "geo_tile" -> ((s, d) => geoTile(s, d)),
     "geo_knn" -> ((s, d) => geoKnn(s, d)),
+    "geo_multi_extract" -> ((s, d) => geoMultiExtract(s, d)),
+    "geo_centroid" -> ((s, d) => geoCentroid(s, d)),
     "geo_csv_proj" -> ((s, d) => geoCsvProj(s, d)),
     "w1_window" -> ((s, d) => w1Window(s, d)),
     "u2_union" -> ((s, d) => u2Union(s, d)),
@@ -340,6 +371,28 @@ object SparkEntry {
     "geo_region_join" -> SpatialJoin.assignRegionsOracleSql(),
     "geo_tile" -> SpatialJoin.tileAssignOracleSql(2, 4),
     "geo_knn" -> Knn.knnOracleSql(Fixtures.knnQueries, 8),
+    "geo_multi_extract" -> {
+      val xs = (0 to 3).map(i => s"x$i"); val ys = (0 to 3).map(i => s"y$i")
+      val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
+      s"""WITH pts AS ($P),
+         |f AS (${GeoCols.featuresSql})
+         |SELECT pid AS image_id, kind AS osm_type, (pid % 7)::VARCHAR AS parity,
+         |  lon, lat
+         |FROM f
+         |WHERE ${GeoCols.featureIntersectsSql(geom, "kind", "lon", "lat", xs, ys)}
+         |  AND (pid % 7)::VARCHAR IN ('1', '3', '5')""".stripMargin
+    },
+    "geo_centroid" -> {
+      val xs = (0 to 3).map(i => s"x$i"); val ys = (0 to 3).map(i => s"y$i")
+      val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
+      val (clon, clat) = GeoCols.centroidSql("kind", "lon", "lat", xs, ys)
+      s"""WITH pts AS ($P),
+         |f AS (${GeoCols.featuresSql})
+         |SELECT pid AS image_id, kind AS osm_type, (pid % 7)::VARCHAR AS parity,
+         |  round($clon, 6) AS clon, round($clat, 6) AS clat
+         |FROM f
+         |WHERE ${GeoCols.featureIntersectsSql(geom, "kind", "lon", "lat", xs, ys)}""".stripMargin
+    },
     "geo_csv_proj" ->
       s"""WITH pts AS ($P)
          |SELECT pid, lon AS longitude, lat AS latitude, 'POINT' AS geom_type

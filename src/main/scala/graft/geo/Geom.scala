@@ -150,4 +150,74 @@ object Geo {
   /** Quantize a coordinate to a grid (reference's ST_SnapToGrid(geom, 1e-5)
     * exact-country probe, builder.py:73-82). */
   def snap(v: Double, grid: Double = 1e-5): Double = math.rint(v / grid) * grid
+
+  // ---- segment / non-point intersection kernel ------------------------------
+  // The reference routes real linestrings/polygons (backend/raw.lua:128-180)
+  // and extracts them with ST_Intersects; this is our exact planar kernel,
+  // mirrored expression-for-expression by GeoCols.featureIntersects{Col,Sql}.
+
+  /** Signed orientation of C relative to segment A→B (positive = left). */
+  def ccw(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double): Double =
+    (cy - ay) * (bx - ax) - (by - ay) * (cx - ax)
+
+  /** Proper-crossing test for segments (a1,a2) and (b1,b2): strict sign
+    * changes on both orientations (touch/collinear cases excluded — a
+    * measure-zero semantics choice applied identically in both engines). */
+  def segmentsCross(a1: Pt, a2: Pt, b1: Pt, b2: Pt): Boolean = {
+    val d1 = ccw(a1.lon, a1.lat, a2.lon, a2.lat, b1.lon, b1.lat) > 0
+    val d2 = ccw(a1.lon, a1.lat, a2.lon, a2.lat, b2.lon, b2.lat) > 0
+    val d3 = ccw(b1.lon, b1.lat, b2.lon, b2.lat, a1.lon, a1.lat) > 0
+    val d4 = ccw(b1.lon, b1.lat, b2.lon, b2.lat, a2.lon, a2.lat) > 0
+    d1 != d2 && d3 != d4
+  }
+
+  /** Does the segment cross any ring edge (shell or holes) of the polygon? */
+  def segmentCrossesBoundary(a: Pt, b: Pt, poly: Polygon): Boolean = {
+    def ringCross(r: Ring): Boolean = {
+      val pts = r.pts
+      var j = pts.length - 1; var i = 0
+      while (i < pts.length) {
+        if (segmentsCross(a, b, pts(j), pts(i))) return true
+        j = i; i += 1
+      }
+      false
+    }
+    ringCross(poly.shell) || poly.holes.exists(ringCross)
+  }
+
+  /** Open polyline × polygon-with-holes intersection: a vertex inside, or an
+    * edge properly crossing the boundary. */
+  def lineIntersectsPolygon(line: Array[Pt], poly: Polygon): Boolean =
+    line.exists(p => pointInPolygon(p.lon, p.lat, poly)) ||
+      line.indices.dropRight(1).exists(i =>
+        segmentCrossesBoundary(line(i), line(i + 1), poly))
+
+  /** Region×region intersection for a simple (hole-free) feature ring vs a
+    * polygon-with-holes: any feature vertex inside, any edge crossing, or the
+    * polygon's first shell vertex inside the feature (feature swallows it). */
+  def polygonIntersectsPolygon(feature: Ring, poly: Polygon): Boolean = {
+    val pts = feature.pts
+    val closed = pts :+ pts.head
+    lineIntersectsPolygon(closed, poly) ||
+      pointInRing(poly.shell.pts.head.lon, poly.shell.pts.head.lat, feature)
+  }
+
+  /** Length-weighted centroid of an open polyline (planar, the ST_Centroid
+    * linestring rule); degenerate zero-length lines fall back to the first
+    * vertex. */
+  def lineCentroid(line: Array[Pt]): Pt = {
+    var sx = 0.0; var sy = 0.0; var sl = 0.0
+    var i = 0
+    while (i < line.length - 1) {
+      val a = line(i); val b = line(i + 1)
+      val l = math.sqrt((b.lon - a.lon) * (b.lon - a.lon) +
+        (b.lat - a.lat) * (b.lat - a.lat))
+      sx += (a.lon + b.lon) / 2 * l
+      sy += (a.lat + b.lat) / 2 * l
+      sl += l
+      i += 1
+    }
+    if (sl == 0.0) line.head else Pt(sx / sl, sy / sl)
+  }
 }

@@ -64,36 +64,56 @@ object PlanBuilder {
     case WhereExpr.Not(x) => !compileWhere(x)
   }
 
-  /** Geometry filter: coarse cover prefilter && exact refine (F1/F2/F9).
-    * For points, ST_Within ≡ ST_Intersects (the useStWithin flag is kept for
-    * parity but both compile identically, as in builder.py:237 vs :102).
+  /** Coarse cell membership with a blowup guard: a small set compiles to a
+    * pushable `In`; a large one to a pushed min/max range (row-group pruning
+    * on the cell-clustered layout survives) AND an `In` that the optimizer
+    * rewrites to a hashed `InSet` — never a 16k-literal codegen method (the
+    * janino 64KB failure mode, BENCH.md finding #2). */
+  private[graft] def cellIn(cell: Column, cells: Set[Long]): Column =
+    if (cells.isEmpty) lit(false)
+    else {
+      val s = cells.toSeq.sorted
+      if (s.size <= 1000) cell.isin(s: _*)
+      else cell.between(lit(s.head), lit(s.last)) && cell.isin(s: _*)
+    }
+
+  /** Geometry filter: coarse cover prefilter && exact kind-aware refine
+    * (F1/F2/F8/F9). Points use PIP; lines/polygons the full segment/region
+    * intersection (GeoCols.featureIntersectsCol — the reference's real
+    * ST_Intersects over linestring/polygon features, raw.lua:128-180).
+    * For points ST_Within ≡ ST_Intersects (the useStWithin flag is kept for
+    * parity, builder.py:237 vs :102).
+    *
+    * The cover is expanded by one cell ring: feature vertices sit within one
+    * res-7 cell of the anchor by construction (GeoCols.vertexCols bounds), so
+    * any intersecting feature has its anchor in cover∪ring1. Anchors inside
+    * fully-interior cells skip the refine (anchor ∈ polygon ⇒ the feature
+    * touches it for every kind: the anchor is a vertex of points/lines and an
+    * interior point of the quad).
     *
     * `cell` should be the materialized bucket column when the table has one
-    * (ImageTable.BucketRes == CoverRes): the IN-prefilter then pushes into
-    * the parquet scan and prunes row groups on the cell-clustered layout —
-    * the reference's `grid = ...` index clause (builder.py:464-470). */
+    * (ImageTable.BucketRes == CoverRes): the prefilter then pushes into the
+    * parquet scan and prunes row groups on the cell-clustered layout — the
+    * reference's `grid = ...` index clause (builder.py:464-470). */
+  def geometryFilter(geom: MultiPolygon, kind: Column, lon: Column, lat: Column,
+      cell: Column, xs: Seq[Column], ys: Seq[Column]): Column = {
+    val covers = geom.polys.map(p => Cell.cover(p, CoverRes))
+    val fullCells = covers.flatMap(_._1).toSet
+    val allCells = covers.flatMap(c => c._1 ++ c._2).toSet
+    val expanded = allCells ++ allCells.flatMap(c => Cell.ring(c, 1))
+    val exact = GeoCols.featureIntersectsCol(geom, kind, lon, lat, xs, ys)
+    cellIn(cell, expanded) && (cellIn(cell, fullCells) || exact)
+  }
+
+  /** Point-only variant (tables without vertex columns). */
   def geometryFilter(geom: MultiPolygon, lon: Column, lat: Column,
       cell: Column): Column = {
     val covers = geom.polys.map(p => Cell.cover(p, CoverRes))
     val fullCells = covers.flatMap(_._1).toSet
-    val partCells = covers.flatMap(_._2).toSet -- fullCells
-    val inFull =
-      if (fullCells.isEmpty) lit(false)
-      else cell.isin(fullCells.toSeq: _*)
+    val allCells = covers.flatMap(c => c._1 ++ c._2).toSet
     val pip = geom.polys.map(p => GeoCols.pipCol(p, lon, lat))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val inPart =
-      if (partCells.isEmpty) lit(false)
-      else cell.isin(partCells.toSeq: _*) && pip
-    // redundant top-level conjunct: a bare `cell IN cover` that Catalyst CAN
-    // push into the parquet scan (the OR-of-branches below is unpushable as
-    // a whole). Above the parquet In-threshold it degrades to a min/max
-    // range filter — which still prunes row groups on the cell-clustered
-    // layout (SURVEY §4 "coarse-index AND exact filter").
-    val allCells = fullCells ++ partCells
-    val pushable =
-      if (allCells.isEmpty) lit(false) else cell.isin(allCells.toSeq: _*)
-    pushable && (inFull || inPart)
+    cellIn(cell, allCells) && (cellIn(cell, fullCells) || pip)
   }
 
   def geometryFilter(geom: MultiPolygon, lon: Column, lat: Column): Column =
@@ -105,13 +125,21 @@ object PlanBuilder {
     * builder.py:105-118). */
   def sanitize(name: String): String = name.replaceAll("[:\\s-]", "_")
 
+  private val vxs = (0 to 3).map(i => col(s"x$i"))
+  private val vys = (0 to 3).map(i => col(s"y$i"))
+
   /** P1 default projection / P2 dynamic attribute projection / P3 csv /
-    * P4 centroid. For points the centroid is the point itself. */
+    * P4 centroid (ST_Centroid(geom) AS geom when centroid=true,
+    * builder.py:157, flag models.py:156-158; the csv path ALWAYS projects
+    * centroid coordinates, ST_X(ST_Centroid(geom)), builder.py:152-155). */
   private def projection(
-      attrs: Option[Seq[String]], csv: Boolean): Seq[Column] = {
+      attrs: Option[Seq[String]], csv: Boolean, centroid: Boolean): Seq[Column] = {
+    lazy val (clon, clat) =
+      GeoCols.centroidCols(col("kind"), col("lon"), col("lat"), vxs, vys)
     val geomCols =
-      if (csv) Seq(col("lon").as("longitude"), col("lat").as("latitude"),
+      if (csv) Seq(clon.as("longitude"), clat.as("latitude"),
         upper(col("kind")).as("geom_type")) // P3, builder.py:152-155
+      else if (centroid) Seq(clon.as("lon"), clat.as("lat")) // P4
       else Seq(col("lon"), col("lat"))
     attrs match {
       case None => // P1: full default projection (builder.py:533-535)
@@ -138,7 +166,8 @@ object PlanBuilder {
 
   def build(images: DataFrame, req: SnapshotRequest, csv: Boolean = false): DataFrame = {
     val derived = ImageTable.derive(images)
-      .filter(geometryFilter(req.geometry, col("lon"), col("lat"), col("cell")))
+      .filter(geometryFilter(req.geometry, col("kind"), col("lon"), col("lat"),
+        col("cell"), vxs, vys))
 
     // group adjacent geometry types with identical effective filters (U3)
     val groups: Seq[(Seq[GeomType], TypeFilters)] =
@@ -155,7 +184,7 @@ object PlanBuilder {
       var b = derived.filter(col("kind").isin(gs.map(kindName): _*))
       f.tags.foreach(t => b = b.filter(compileTags(t)))
       req.where.foreach(w => b = b.filter(compileWhere(WhereParser.parse(w))))
-      b.select(projection(f.attributes, csv): _*)
+      b.select(projection(f.attributes, csv, req.centroid): _*)
     }
     // schema may differ across branches when per-type attribute lists differ
     // → unionByName with null-fill (the reference merges attribute lists for
@@ -164,13 +193,22 @@ object PlanBuilder {
   }
 
   /** P5: serialize a result row as a GeoJSON Feature (ST_AsGeoJSON(t0.*),
-    * builder.py:85-95) — pure column JSON assembly. */
+    * builder.py:85-95) — pure column JSON assembly. Rows carrying the vertex
+    * columns serialize their real LineString/Polygon geometry; point-only
+    * projections fall back to Point. */
   def toGeoJsonFeature(df: DataFrame): DataFrame = {
-    val props = to_json(struct(df.columns.filter(c => c != "lon" && c != "lat")
+    val have = df.columns.toSet
+    val geomColumns = Set("lon", "lat", "kind", "cell") ++
+      (0 to 3).flatMap(i => Seq(s"x$i", s"y$i"))
+    val props = to_json(struct(df.columns.filterNot(geomColumns)
       .map(col).toIndexedSeq: _*))
+    val geomJson =
+      if (have("kind") && have("x0"))
+        GeoCols.geoJsonGeomCol(col("kind"), col("lon"), col("lat"), vxs, vys)
+      else concat(lit("""{"type":"Point","coordinates":["""),
+        col("lon").cast("string"), lit(","), col("lat").cast("string"), lit("]}"))
     df.select(concat(
-      lit("""{"type":"Feature","geometry":{"type":"Point","coordinates":["""),
-      col("lon").cast("string"), lit(","), col("lat").cast("string"),
-      lit("""]},"properties":"""), props, lit("}")).as("feature"))
+      lit("""{"type":"Feature","geometry":"""), geomJson,
+      lit(""","properties":"""), props, lit("}")).as("feature"))
   }
 }

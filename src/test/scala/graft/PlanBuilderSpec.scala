@@ -15,26 +15,38 @@ class PlanBuilderSpec extends SparkSpec {
   private val N = 1500L
   private lazy val images = ImageFixture.generate(spark, N, 4)
 
-  /** Plain-Scala mirror of the derived columns (collected once from Spark —
-    * the location derivation is sealed inside ImageTable; semantics on top
-    * are recomputed independently). */
-  private lazy val derived: Seq[(String, Double, Double, Map[String, String], String)] =
+  /** Plain-Scala mirror of the derived columns incl. feature vertices
+    * (collected once from Spark — the location derivation is sealed inside
+    * ImageTable; semantics on top are recomputed independently). */
+  private lazy val derived: Seq[(String, Double, Double, Map[String, String], String, Array[graft.geo.Pt])] =
     ImageTable.derive(images)
-      .select("image_id", "lon", "lat", "tags", "kind")
+      .select(Seq("image_id", "lon", "lat", "tags", "kind").map(col) ++
+        (0 to 3).flatMap(i => Seq(col(s"x$i"), col(s"y$i"))): _*)
       .collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
-        r.getMap[String, String](3).toMap, r.getString(4))).toSeq
+        r.getMap[String, String](3).toMap, r.getString(4),
+        Array.tabulate(4)(i => graft.geo.Pt(r.getDouble(5 + 2 * i), r.getDouble(6 + 2 * i)))))
+      .toSeq
 
   private val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
 
   private def inGeom(lon: Double, lat: Double): Boolean =
     geom.polys.exists(p => Geo.pointInPolygon(lon, lat, p))
 
+  /** Kind-aware kernel intersect — the oracle twin of the plan's exact
+    * refine (real non-point semantics, not anchor PIP). */
+  private def hitsGeom(kind: String, lon: Double, lat: Double,
+      v: Array[graft.geo.Pt]): Boolean = kind match {
+    case "point" => inGeom(lon, lat)
+    case "line" => geom.polys.exists(p => Geo.lineIntersectsPolygon(v.take(3), p))
+    case _ => geom.polys.exists(p => Geo.polygonIntersectsPolygon(graft.geo.Ring(v), p))
+  }
+
   test("snapshot_default: polygon only, all types, default projection") {
     val req = SnapshotRequest(geometry = geom)
     val got = PlanBuilder.build(images, req)
       .select("image_id").collect().map(_.getString(0)).toSet
-    val expect = derived.filter(d => inGeom(d._2, d._3)).map(_._1).toSet
+    val expect = derived.filter(d => hitsGeom(d._5, d._2, d._3, d._6)).map(_._1).toSet
     assert(got == expect)
     assert(got.nonEmpty)
   }
@@ -49,7 +61,7 @@ class PlanBuilderSpec extends SparkSpec {
     val df = PlanBuilder.build(images, req)
     assert(df.columns.toSeq == Seq("image_id", "osm_type", "name", "lon", "lat"))
     val got = df.collect().map(r => (r.getString(0), r.getString(2))).toSet
-    val expect = derived.filter { case (_, lon, lat, tags, kind) =>
+    val expect = derived.filter { case (_, lon, lat, tags, kind, _) =>
       kind == "point" && inGeom(lon, lat) &&
         tags.get("amenity").exists(Seq("shop", "toilet").contains)
     }.map(d => (d._1, d._4("name"))).toSet
@@ -64,8 +76,8 @@ class PlanBuilderSpec extends SparkSpec {
         "building" -> Seq("yes"), "name" -> Nil))))))
     val got = PlanBuilder.build(images, req)
       .select("image_id").collect().map(_.getString(0)).toSet
-    val expect = derived.filter { case (_, lon, lat, tags, _) =>
-      inGeom(lon, lat) && tags.get("building").contains("yes") && tags.contains("name")
+    val expect = derived.filter { case (_, lon, lat, tags, kind, v) =>
+      hitsGeom(kind, lon, lat, v) && tags.get("building").contains("yes") && tags.contains("name")
     }.map(_._1).toSet
     assert(got == expect)
   }
@@ -81,8 +93,8 @@ class PlanBuilderSpec extends SparkSpec {
     val got = PlanBuilder.build(images, req)
       .select("image_id", "osm_type").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
-    val expect = derived.filter { case (_, lon, lat, tags, kind) =>
-      inGeom(lon, lat) && (kind match {
+    val expect = derived.filter { case (_, lon, lat, tags, kind, v) =>
+      hitsGeom(kind, lon, lat, v) && (kind match {
         case "point" | "line" => tags.contains("highway")
         case _ => tags.contains("building")
       })
@@ -96,8 +108,8 @@ class PlanBuilderSpec extends SparkSpec {
       where = Some("tags['highway'] IS NOT NULL AND tags['building'] != 'no'"))
     val got = PlanBuilder.build(images, req)
       .select("image_id").collect().map(_.getString(0)).toSet
-    val expect = derived.filter { case (_, lon, lat, tags, _) =>
-      inGeom(lon, lat) && tags.contains("highway") &&
+    val expect = derived.filter { case (_, lon, lat, tags, kind, v) =>
+      hitsGeom(kind, lon, lat, v) && tags.contains("highway") &&
         tags.get("building").exists(_ != "no") // != on NULL is NULL → filtered
     }.map(_._1).toSet
     assert(got == expect)

@@ -26,7 +26,8 @@ class PlanQualitySpec extends SparkSpec {
       geometry = MultiPolygon(Seq(Fixtures.requestPolygon)),
       geometryTypes = GeomType.all)
     images.filter(PlanBuilder.geometryFilter(
-      req.geometry, col("lon"), col("lat"), col("cell")))
+      req.geometry, col("kind"), col("lon"), col("lat"), col("cell"),
+      (0 to 3).map(i => col(s"x$i")), (0 to 3).map(i => col(s"y$i"))))
   }
 
   test("cell prefilter is pushed into the parquet scan") {
