@@ -125,6 +125,19 @@ object SparkEntry {
         round(col("lon"), 6).as("clon"), round(col("lat"), 6).as("clat"))
   }
 
+  /** S3 + custom-export orchestration: stage once (geometry-prefiltered
+    * staging parquet, the postgres→DuckDB CTAS analogue app.py:1670-1686),
+    * then a per-category extract over the staged table (types routing +
+    * select + where-DSL, builder.py:935-992). */
+  private def exportCategory(s: SparkSession, dir: String): DataFrame = {
+    val staging = "/tmp/graft_staging/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val staged = graft.plan.CustomExport.stage(s, GeoCols.derivedFeatures(s, dir),
+      Some(MultiPolygon(Seq(Fixtures.requestPolygon))), staging)
+    graft.plan.CustomExport.extractCategory(staged, graft.model.Category(
+      "infra", Seq(GeomType.Line, GeomType.Polygon), Seq("parity"),
+      Some("tags['parity'] IN ('2', '4')")))
+  }
+
   /** W2-ish window ops: row_number + running sum per user over events. */
   private def w1Window(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -260,6 +273,7 @@ object SparkEntry {
     "geo_knn" -> ((s, d) => geoKnn(s, d)),
     "geo_multi_extract" -> ((s, d) => geoMultiExtract(s, d)),
     "geo_centroid" -> ((s, d) => geoCentroid(s, d)),
+    "export_category" -> ((s, d) => exportCategory(s, d)),
     "geo_csv_proj" -> ((s, d) => geoCsvProj(s, d)),
     "w1_window" -> ((s, d) => w1Window(s, d)),
     "u2_union" -> ((s, d) => u2Union(s, d)),
@@ -392,6 +406,18 @@ object SparkEntry {
          |  round($clon, 6) AS clon, round($clat, 6) AS clat
          |FROM f
          |WHERE ${GeoCols.featureIntersectsSql(geom, "kind", "lon", "lat", xs, ys)}""".stripMargin
+    },
+    "export_category" -> {
+      val xs = (0 to 3).map(i => s"x$i"); val ys = (0 to 3).map(i => s"y$i")
+      val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
+      s"""WITH pts AS ($P),
+         |f AS (${GeoCols.featuresSql})
+         |SELECT pid AS image_id, kind AS osm_type, (pid % 7)::VARCHAR AS parity,
+         |  lon, lat
+         |FROM f
+         |WHERE ${GeoCols.featureIntersectsSql(geom, "kind", "lon", "lat", xs, ys)}
+         |  AND kind IN ('line', 'polygon')
+         |  AND (pid % 7)::VARCHAR IN ('2', '4')""".stripMargin
     },
     "geo_csv_proj" ->
       s"""WITH pts AS ($P)

@@ -1,0 +1,122 @@
+package graft.plan
+
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geo.{Geo, MultiPolygon}
+import graft.model.{Category, GeomType, SnapshotRequest, WhereParser}
+import graft.sources.ImageTable
+
+/** Custom-export orchestration — the reference's
+  * CustomExport.process_custom_categories (src/app.py:1638-1762):
+  *
+  *  1. STAGE ONCE: the (optionally geometry-prefiltered) derived table is
+  *     materialized to a staging parquet table and every category reads that,
+  *     never the base table — the postgres→DuckDB CTAS reuse
+  *     (builder.py:875-918, staged at app.py:1670-1686);
+  *  2. N categories run CONCURRENTLY, each on its own FAIR scheduler pool —
+  *     the Spark analogue of the reference's category/format thread pools
+  *     (app.py:1694-1714, :1463-1491). FAIR pools keep one slow category from
+  *     starving the rest of the cluster;
+  *  3. per category: geometry-type routing, select projection, where-DSL —
+  *     extract_features_custom_exports (builder.py:935-992).
+  */
+object CustomExport {
+
+  def kindName(g: GeomType): String = g match {
+    case GeomType.Point => "point"
+    case GeomType.Line => "line"
+    case GeomType.Polygon => "polygon"
+  }
+
+  /** Materialize the staged table (explicit parquet staging, not cache():
+    * persist is per-session best-effort; the reference's staging table is
+    * durable and shared by every category × format job — and at 100 TB a
+    * prefiltered staging parquet is re-readable by later runs for free). */
+  def stage(spark: SparkSession, images: DataFrame,
+      geometry: Option[MultiPolygon], stagingDir: String): DataFrame = {
+    var df = ImageTable.derive(images)
+    geometry.foreach { g =>
+      df = df.filter(PlanBuilder.geometryFilter(g, col("kind"),
+        col("lon"), col("lat"), col("cell"),
+        (0 to 3).map(i => col(s"x$i")), (0 to 3).map(i => col(s"y$i"))))
+    }
+    df.write.mode(SaveMode.Overwrite).parquet(stagingDir)
+    spark.read.parquet(stagingDir)
+  }
+
+  /** One category's extract over the staged table (types → kind routing,
+    * select → attribute projection, where-DSL). */
+  def extractCategory(staged: DataFrame, cat: Category): DataFrame = {
+    var b = staged.filter(col("kind").isin(cat.types.map(kindName): _*))
+    cat.where.foreach(w =>
+      b = b.filter(PlanBuilder.compileWhere(WhereParser.parse(w))))
+    val attrs = cat.select.map(a => col("tags")(a).as(PlanBuilder.sanitize(a)))
+    b.select(Seq(col("image_id"), col("kind").as("osm_type")) ++ attrs ++
+      Seq(col("lon"), col("lat")): _*)
+  }
+
+  /** Stage once, then run all categories concurrently on FAIR pools, writing
+    * each to `outDir/<category>/<format>`. Returns per-category row counts.
+    * The session should be built with spark.scheduler.mode=FAIR for true
+    * fair sharing; without it the pools degrade to FIFO but the concurrent
+    * submission (and the staging reuse) is unchanged. */
+  def processCategories(
+      spark: SparkSession,
+      images: DataFrame,
+      geometry: Option[MultiPolygon],
+      categories: Seq[Category],
+      stagingDir: String,
+      outDir: String,
+      formats: Seq[String] = Seq("geojson", "parquet"),
+      parallelism: Int = 4): Map[String, Long] = {
+    require(categories.nonEmpty, "no categories")
+    val staged = stage(spark, images, geometry, stagingDir)
+    val pool = Executors.newFixedThreadPool(math.min(parallelism, categories.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futs = categories.map { c =>
+      Future {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"export-${c.name}")
+        val df = extractCategory(staged, c)
+        formats.foreach {
+          case "geojson" =>
+            graft.sinks.Sinks.featureCollection(df, s"$outDir/${c.name}/geojson")
+          case "parquet" =>
+            graft.sinks.Sinks.parquetZstd(df, s"$outDir/${c.name}/parquet")
+          case "csv" =>
+            graft.sinks.Sinks.csv(df, s"$outDir/${c.name}/csv")
+          case f => throw new IllegalArgumentException(s"unknown format $f")
+        }
+        c.name -> df.count()
+      }
+    }
+    try Await.result(Future.sequence(futs), Duration.Inf).toMap
+    finally pool.shutdown()
+  }
+
+  // ---- plain/sync small-area path (SURVEY §3.3) ------------------------------
+
+  /** The reference's third entry point: POST /v1/snapshot/plain/
+    * (API/raw_data.py:467-496 guards area ≤ 10 km²; app.py:868-881 cursors
+    * rows into an in-memory FeatureCollection). Same plan as build(), with a
+    * driver-side area guard and row cap; returns the FeatureCollection JSON. */
+  def plainSnapshot(images: DataFrame, req: SnapshotRequest,
+      maxAreaKm2: Double = 10.0, rowCap: Int = 10000): String = {
+    val area = req.geometry.polys.map(Geo.geodesicAreaKm2).sum
+    require(area <= maxAreaKm2,
+      f"plain path rejects areas over $maxAreaKm2%.0f km² (got $area%.1f)")
+    val feats = PlanBuilder.toGeoJsonFeature(PlanBuilder.build(images, req))
+    val it = feats.toLocalIterator()
+    val sb = new StringBuilder("""{"type":"FeatureCollection","features":[""")
+    var n = 0
+    while (it.hasNext) {
+      require(n < rowCap, s"plain path row cap $rowCap exceeded")
+      if (n > 0) sb.append(',')
+      sb.append(it.next().getString(0))
+      n += 1
+    }
+    sb.append("]}").toString
+  }
+}

@@ -18,6 +18,53 @@ object Sinks {
   def geojson(extract: DataFrame, outDir: String): Unit =
     Lineage.exportResumable(PlanBuilder.toGeoJsonFeature(extract), outDir)
 
+  /** S4 — ONE valid GeoJSON FeatureCollection file, assembled by streaming
+    * the committed per-partition parts (the reference's cursor path appends
+    * rows into a single `{"type":"FeatureCollection","features":[...]}` file,
+    * app.py:618-646). The distributed write stays resumable (lineage parts);
+    * only the final concat is a driver-side sequential stream — exactly the
+    * reference's boundary. Returns the assembled file path. */
+  def featureCollection(extract: DataFrame, outDir: String): java.nio.file.Path = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    geojson(extract, outDir)
+    val partsDir = Paths.get(outDir, "parts")
+    val sorted = {
+      val st = Files.list(partsDir)
+      try {
+        val it = st.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        while (it.hasNext) { val p = it.next(); if (p.getFileName.toString.endsWith(".jsonl")) buf += p }
+        buf.sortBy(_.getFileName.toString)
+      } finally st.close()
+    }
+    val tmp = Paths.get(outDir, "export.geojson.tmp")
+    val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+    var first = true
+    try {
+      w.write("""{"type":"FeatureCollection","features":[""")
+      sorted.foreach { p =>
+        val r = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+        try {
+          var line = r.readLine()
+          while (line != null) {
+            if (line.nonEmpty) {
+              if (!first) w.write(",")
+              w.write(line)
+              first = false
+            }
+            line = r.readLine()
+          }
+        } finally r.close()
+      }
+      w.write("]}")
+    } finally w.close()
+    val out = Paths.get(outDir, "export.geojson")
+    Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    out
+  }
+
   /** S5 — CSV with the reference's csv projection (lon/lat/geom_type columns
     * instead of geometry, builder.py:152-155). Caller passes the csv-shaped
     * extract (PlanBuilder.build(..., csv = true)); map columns are

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.geo.{Fixtures, MultiPolygon}
+import graft.model.{Category, GeomType, SnapshotRequest, TypeFilters}
+import graft.plan.{CustomExport, PlanBuilder}
+import graft.sources.ImageFixture
+
+/** Custom-export orchestration (reference app.py:1638-1762): staging reuse
+  * across categories, concurrent FAIR-pool execution, the single-file
+  * FeatureCollection sink, and the plain/sync guarded path. */
+class CustomExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val baseDir = {
+    val dir = Files.createTempDirectory("ce_images").toString
+    ImageFixture.write(spark, 3000, dir, partitions = 4)
+    dir
+  }
+
+  private val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
+
+  private val cats = Seq(
+    Category("buildings", Seq(GeomType.Polygon), Seq("building"),
+      Some("tags['building'] IS NOT NULL")),
+    Category("roads", Seq(GeomType.Line, GeomType.Point), Seq("highway"),
+      Some("tags['highway'] IS NOT NULL")))
+
+  test("staging is written once and every category reads ONLY the staged table") {
+    val staging = Files.createTempDirectory("ce_staging").toString
+    val images = ImageFixture.read(spark, baseDir)
+    val staged = CustomExport.stage(spark, images, Some(geom), staging)
+    cats.foreach { c =>
+      val plan = CustomExport.extractCategory(staged, c)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains(staging), s"category ${c.name} must scan the staging table")
+      assert(!plan.contains(baseDir), s"category ${c.name} must NOT rescan the base table")
+    }
+  }
+
+  test("categories run concurrently and produce correct per-category extracts") {
+    val staging = Files.createTempDirectory("ce_staging2").toString
+    val outDir = Files.createTempDirectory("ce_out").toString
+    val images = ImageFixture.read(spark, baseDir)
+    val counts = CustomExport.processCategories(spark, images, Some(geom),
+      cats, staging, outDir)
+    // independent expectation: direct plan over the base table
+    val derived = graft.sources.ImageTable.derive(images)
+      .filter(PlanBuilder.geometryFilter(geom, col("kind"), col("lon"), col("lat"),
+        col("cell"), (0 to 3).map(i => col(s"x$i")), (0 to 3).map(i => col(s"y$i"))))
+    val expBuildings = derived.filter(col("kind") === "polygon" &&
+      col("tags")("building").isNotNull).count()
+    val expRoads = derived.filter(col("kind").isin("line", "point") &&
+      col("tags")("highway").isNotNull).count()
+    assert(counts == Map("buildings" -> expBuildings, "roads" -> expRoads))
+    // both formats landed per category
+    cats.foreach { c =>
+      assert(Files.exists(java.nio.file.Paths.get(s"$outDir/${c.name}/geojson/export.geojson")))
+      assert(spark.read.parquet(s"$outDir/${c.name}/parquet").count() == counts(c.name))
+    }
+  }
+
+  test("featureCollection assembles ONE valid parseable GeoJSON file") {
+    val outDir = Files.createTempDirectory("ce_fc").toString
+    val req = SnapshotRequest(geometry = geom,
+      allGeometry = Some(TypeFilters(attributes = Some(Seq("name")))))
+    val extract = PlanBuilder.build(ImageFixture.read(spark, baseDir), req)
+    val n = extract.count()
+    val path = graft.sinks.Sinks.featureCollection(extract, outDir)
+    val fc = new String(Files.readAllBytes(path), "UTF-8")
+    val parsed = spark.read.json(Seq(fc).toDS)
+    assert(parsed.select(col("type")).as[String].head() == "FeatureCollection")
+    assert(parsed.select(size(col("features"))).as[Int].head() == n)
+    assert(n > 0)
+  }
+
+  test("plain sync path: area guard, row cap, in-memory FeatureCollection") {
+    val images = ImageFixture.read(spark, baseDir)
+    // oversized area rejected (the reference's 10 km² guard, raw_data.py:483-493)
+    val big = SnapshotRequest(geometry = geom)
+    val e = intercept[IllegalArgumentException](
+      CustomExport.plainSnapshot(images, big))
+    assert(e.getMessage.contains("km²"))
+    // row cap enforced
+    intercept[IllegalArgumentException](
+      CustomExport.plainSnapshot(images, big, maxAreaKm2 = 1e9, rowCap = 3))
+    // happy path: small guarded collect returns a valid FeatureCollection
+    val fc = CustomExport.plainSnapshot(images, big, maxAreaKm2 = 1e9)
+    val parsed = spark.read.json(Seq(fc).toDS)
+    assert(parsed.select(col("type")).as[String].head() == "FeatureCollection")
+    assert(parsed.select(size(col("features"))).as[Int].head() > 3)
+  }
+}
