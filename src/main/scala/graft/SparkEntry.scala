@@ -25,7 +25,8 @@ object SparkEntry {
   /** Flagship: custom-polygon extract + region assignment + tile pyramid on
     * sf0.001 (the reference's POST /v1/snapshot/ shape, SURVEY.md §3.1). */
   def entry(spark: SparkSession): DataFrame = {
-    val p = pts(spark, "/root/testdata/sf0.001")
+    val p = pts(spark,
+      sys.env.getOrElse("SPARK_GRAFT_ENTRY_DIR", "/root/testdata/sf0.001"))
       .filter(GeoCols.pipCol(Fixtures.requestPolygon, col("lon"), col("lat")))
     val assigned = SpatialJoin.assignRegions(spark, p)
     SpatialJoin.tileAssign(p, 2, 6)

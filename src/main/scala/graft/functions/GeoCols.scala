@@ -438,6 +438,47 @@ object GeoCols {
     (clon, clat)
   }
 
+  /** Kernel-backed twins of featureIntersectsCol / centroidCols for the HOT
+    * path: the full Column expression tree over 18 polygon edges × 4 feature
+    * vertices explodes past whole-stage-codegen limits (observed 40 MB task
+    * binaries + interpreted fallback — BENCH.md finding #2's disease), while
+    * a compact UDF over the JIT-compiled kernel evaluates each vertex column
+    * exactly once. Arithmetic is operand-for-operand identical to the Column
+    * and SQL twins (GeometrySpec proves kernel ≡ Column row-for-row), so
+    * oracle parity is preserved. Vertices are passed as one packed array
+    * (x0,y0..x3,y3). */
+  def featureIntersectsUdf(geom: MultiPolygon): Column => Column = {
+    val f = udf((kind: String, lon: Double, lat: Double, v: Seq[Double]) => {
+      val pts = Array.tabulate(4)(i => Pt(v(2 * i), v(2 * i + 1)))
+      kind match {
+        case "point" => geom.polys.exists(p => graft.geo.Geo.pointInPolygon(lon, lat, p))
+        case "line" => geom.polys.exists(p => graft.geo.Geo.lineIntersectsPolygon(pts.take(3), p))
+        case _ => geom.polys.exists(p => graft.geo.Geo.polygonIntersectsPolygon(graft.geo.Ring(pts), p))
+      }
+    })
+    packed => f(col("kind"), col("lon"), col("lat"), packed)
+  }
+
+  /** Packed vertex array column (x0,y0..x3,y3) for the kernel UDFs. */
+  def packedVerts(xs: Seq[Column], ys: Seq[Column]): Column =
+    array((0 to 3).flatMap(i => Seq(xs(i), ys(i))): _*)
+
+  /** Kernel-backed centroid (clon, clat) — same rationale as
+    * [[featureIntersectsUdf]]; bit-identical to centroidCols/centroidSql
+    * (same operand order, GeometrySpec-proven). */
+  val centroidUdf = udf((kind: String, lon: Double, lat: Double, v: Seq[Double]) => {
+    val pts = Array.tabulate(4)(i => Pt(v(2 * i), v(2 * i + 1)))
+    kind match {
+      case "point" => Array(lon, lat)
+      case "line" =>
+        val c = graft.geo.Geo.lineCentroid(pts.take(3))
+        Array(c.lon, c.lat)
+      case _ =>
+        val c = graft.geo.Geo.centroid(Polygon(graft.geo.Ring(pts)))
+        Array(c.lon, c.lat)
+    }
+  })
+
   /** GeoJSON geometry object per kind (Point / LineString / Polygon) — the
     * row-level half of ST_AsGeoJSON (builder.py:85-95) for real geometry. */
   def geoJsonGeomCol(kind: Column, lon: Column, lat: Column,

@@ -197,26 +197,53 @@ object Similarity {
   val Iters = 2
   val DefaultNProbe = 2
 
-  /** Squared-distance argmin score vs a literal centroid: cc - 2·(e·c)
-    * (the e·e term is constant per row and argmin-irrelevant). */
-  def centroidScoreCol(e: Column, cent: Array[Double]): Column = {
-    val cc = cent.map(x => x * x).sum // left fold, same order as dotSql(cent,cent)
-    val dot = cent.zipWithIndex.map { case (cv, i) =>
-      element_at(e, i + 1).cast("double") * lit(cv) }.reduce(_ + _)
-    lit(cc) - lit(2.0) * dot
-  }
-
-  /** Same score with the centroid as a SQL column expression (oracle side). */
+  /** Squared-distance argmin score, centroid as a SQL column expression
+    * (oracle side): cc − 2·(e·c) — the e·e term is constant per row and
+    * argmin-irrelevant. */
   def centroidScoreSql(eE: String, centE: String): String =
     s"(${dotSql(centE, centE)} - 2.0 * ${dotSql(eE, centE)})"
 
-  /** first-match argmin over (centroidId, score) columns — ties → lowest id;
-    * the SQL twin's ROW_NUMBER ... ORDER BY (score, c) picks the same. */
-  def argminCol(scores: Seq[(Int, Column)]): Column = {
-    val m = least(scores.map(_._2): _*)
-    scores.tail.foldLeft(when(scores.head._2 === m, lit(scores.head._1))) {
-      case (acc, (c, s)) => acc.when(s === m, lit(c))
-    }.otherwise(lit(-1))
+  /** Kernel argmin over the trained centroids — the hot-path twin of the SQL
+    * rn-argmin: identical score arithmetic (cc − 2·(e·c), left-associated
+    * double sums — same order as [[centroidScoreSql]]) and identical
+    * lowest-id tiebreak, evaluated by one compact JIT'd closure instead of a
+    * K×Dims×3-term expression tree (which dominated wall time as
+    * codegen/compile cost). */
+  private def assignKernel(cents: Seq[(Int, Array[Double])]): Seq[Float] => Int = {
+    val ids = cents.map(_._1).toArray
+    val cs = cents.map(_._2).toArray
+    val ccs = cs.map(c => c.map(x => x * x).sum)
+    (e: Seq[Float]) => {
+      val ea = e.toArray
+      var best = -1; var bestScore = Double.MaxValue
+      var j = 0
+      while (j < cs.length) {
+        val cent = cs(j)
+        var dot = 0.0; var i = 0
+        while (i < cent.length) { dot += ea(i).toDouble * cent(i); i += 1 }
+        val score = ccs(j) - 2.0 * dot
+        if (score < bestScore) { bestScore = score; best = ids(j) }
+        j += 1
+      }
+      best
+    }
+  }
+
+  /** Kernel probe list: the `nprobe` nearest centroid ids by (score, id). */
+  private def probeKernel(cents: Seq[(Int, Array[Double])], nprobe: Int): Seq[Float] => Array[Int] = {
+    val ids = cents.map(_._1).toArray
+    val cs = cents.map(_._2).toArray
+    val ccs = cs.map(c => c.map(x => x * x).sum)
+    (e: Seq[Float]) => {
+      val ea = e.toArray
+      val scored = ids.indices.map { j =>
+        val cent = cs(j)
+        var dot = 0.0; var i = 0
+        while (i < cent.length) { dot += ea(i).toDouble * cent(i); i += 1 }
+        (ccs(j) - 2.0 * dot, ids(j))
+      }
+      scored.sortBy(identity).take(nprobe).map(_._2).toArray
+    }
   }
 
   /** Train the coarse quantizer: deterministic sample → fixed init → `Iters`
@@ -235,10 +262,9 @@ object Similarity {
     val meanCols = (0 until Dims).map(i =>
       round(avg(element_at(col("embedding"), i + 1).cast("double")), 6).as(s"m$i"))
     for (_ <- 0 until iters) {
-      val scores = cents.map { case (c, cent) =>
-        (c, centroidScoreCol(col("embedding"), cent)) }
+      val assignU = udf(assignKernel(cents))
       cents = samp
-        .select(col("embedding"), argminCol(scores).as("c"))
+        .select(col("embedding"), assignU(col("embedding")).as("c"))
         .groupBy(col("c")).agg(meanCols.head, meanCols.tail: _*)
         .collect().toSeq
         .map(r => (r.getInt(0), (1 to Dims).map(r.getDouble).toArray))
@@ -248,11 +274,10 @@ object Similarity {
   }
 
   /** (vec_id, embedding, bucket) — inverted-list assignment as a narrow map
-    * over literal trained centroids (no join, no shuffle). */
+    * over the trained centroids (no join, no shuffle). */
   def ivfAssign(emb: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
-    val scores = cents.map { case (c, cent) =>
-      (c, centroidScoreCol(col("embedding"), cent)) }
-    emb.select(col("vec_id"), col("embedding"), argminCol(scores).as("bucket"))
+    val assignU = udf(assignKernel(cents))
+    emb.select(col("vec_id"), col("embedding"), assignU(col("embedding")).as("bucket"))
   }
 
   /** IVF top-k with trained centroids: probe the `nprobe` nearest lists per
@@ -271,16 +296,9 @@ object Similarity {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         sqrt(dotCol(col("embedding"), col("embedding"))).as("qn"))
-    val scoreRows = explode(array(cents.map { case (c, cent) =>
-      struct(lit(c).as("bucket"), centroidScoreCol(col("qe"), cent).as("score"))
-    }: _*)).as("cs")
-    val pw = Window.partitionBy(col("qid")).orderBy(col("score"), col("bucket"))
-    val probes = q.select(col("qid"), col("qe"), col("qn"), scoreRows)
-      .select(col("qid"), col("qe"), col("qn"),
-        col("cs.bucket").as("bucket"), col("cs.score").as("score"))
-      .withColumn("prn", row_number().over(pw))
-      .filter(col("prn") <= nprobe)
-      .select(col("qid"), col("qe"), col("qn"), col("bucket"))
+    val probeU = udf(probeKernel(cents, nprobe))
+    val probes = q.select(col("qid"), col("qe"), col("qn"),
+      explode(probeU(col("qe"))).as("bucket"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))

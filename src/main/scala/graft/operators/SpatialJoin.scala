@@ -140,9 +140,11 @@ object SpatialJoin {
         points
       else points.withColumn("cell", GeoCols.cellCol(res, col("lon"), col("lat")))
 
-    // sampled hotness map (driver-sized: |occupied cells| at res 7 ≤ 16k)
-    val hotCells = withCell.sample(0.01).groupBy("cell").count()
-      .filter(col("count") > hotThreshold / 100)
+    // sampled hotness map (driver-sized: |occupied cells| at res 7 ≤ 16k);
+    // the count cutoff scales WITH the sample rate so the two can't drift
+    val sampleRate = 0.01
+    val hotCells = withCell.sample(sampleRate).groupBy("cell").count()
+      .filter(col("count") > (hotThreshold * sampleRate).toLong)
       .select("cell").collect().map(_.getLong(0)).toSet
     val hotBc = spark.sparkContext.broadcast(hotCells)
     val saltOf = udf((cell: Long) => if (hotBc.value.contains(cell)) saltFactor else 1)

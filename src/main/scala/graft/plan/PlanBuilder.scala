@@ -101,7 +101,11 @@ object PlanBuilder {
     val fullCells = covers.flatMap(_._1).toSet
     val allCells = covers.flatMap(c => c._1 ++ c._2).toSet
     val expanded = allCells ++ allCells.flatMap(c => Cell.ring(c, 1))
-    val exact = GeoCols.featureIntersectsCol(geom, kind, lon, lat, xs, ys)
+    // exact refine = compact kernel UDF (each vertex column evaluated once;
+    // the equivalent Column tree is 18-edge × 4-vertex and falls out of
+    // codegen — BENCH.md finding #2). The coarse prefilter stays a pushable
+    // Column so scan pruning is untouched.
+    val exact = GeoCols.featureIntersectsUdf(geom)(GeoCols.packedVerts(xs, ys))
     cellIn(cell, expanded) && (cellIn(cell, fullCells) || exact)
   }
 
@@ -134,8 +138,9 @@ object PlanBuilder {
     * centroid coordinates, ST_X(ST_Centroid(geom)), builder.py:152-155). */
   private def projection(
       attrs: Option[Seq[String]], csv: Boolean, centroid: Boolean): Seq[Column] = {
-    lazy val (clon, clat) =
-      GeoCols.centroidCols(col("kind"), col("lon"), col("lat"), vxs, vys)
+    lazy val c = GeoCols.centroidUdf(col("kind"), col("lon"), col("lat"),
+      GeoCols.packedVerts(vxs, vys))
+    lazy val (clon, clat) = (element_at(c, 1), element_at(c, 2))
     val geomCols =
       if (csv) Seq(clon.as("longitude"), clat.as("latitude"),
         upper(col("kind")).as("geom_type")) // P3, builder.py:152-155

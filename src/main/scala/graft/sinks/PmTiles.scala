@@ -1,0 +1,155 @@
+package graft.sinks
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Minimal from-scratch PMTiles v3 archive writer — the reference's actual
+  * tile sink output (`tippecanoe ... -o out.pmtiles`, src/app.py:690-698).
+  * Format per the public PMTiles v3 specification (protomaps/PMTiles):
+  * 127-byte header, gzip varint-delta root directory keyed by Hilbert tile
+  * ids, gzip JSON metadata, concatenated tile payloads with run-length /
+  * duplicate coalescing.
+  *
+  * Tile payloads here are gzip GeoJSON FeatureCollections (tile_type 0x00 =
+  * unspecified; the spec allows non-MVT payloads) — the engine's tile
+  * CONTENT is its extract rows, the archive layout is what's format-bound.
+  *
+  * The heavy work (tile assignment, per-tile feature grouping) is the
+  * distributed plan; this writer streams the per-tile groups on the driver —
+  * the same single-archive boundary as tippecanoe itself.
+  */
+object PmTiles {
+
+  // ---- Hilbert tile ids (spec: tileId = sum of tiles below z + hilbert d) --
+
+  /** xy → Hilbert d on a 2^z × 2^z grid (standard bit-rotation walk). */
+  def hilbertD(z: Int, x0: Long, y0: Long): Long = {
+    var rx = 0L; var ry = 0L; var d = 0L
+    var x = x0; var y = y0
+    var s = 1L << (z - 1)
+    while (s > 0) {
+      rx = if ((x & s) > 0) 1 else 0
+      ry = if ((y & s) > 0) 1 else 0
+      d += s * s * ((3 * rx) ^ ry)
+      // rotate
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  def tileId(z: Int, x: Long, y: Long): Long = {
+    // cumulative tile count for zooms < z: sum 4^i = (4^z - 1) / 3
+    val base = ((1L << (2 * z)) - 1) / 3
+    if (z == 0) 0L else base + hilbertD(z, x, y)
+  }
+
+  // ---- varint + directory encoding -------------------------------------------
+
+  private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  final case class Entry(tileId: Long, offset: Long, length: Int, runLength: Int = 1)
+
+  /** Spec layout: n, tileId deltas, runLengths, lengths, offsets (offset 0 =
+    * "previous entry's offset + length"). */
+  def encodeDirectory(entries: Seq[Entry]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeVarint(out, entries.size)
+    var last = 0L
+    entries.foreach { e => writeVarint(out, e.tileId - last); last = e.tileId }
+    entries.foreach(e => writeVarint(out, e.runLength))
+    entries.foreach(e => writeVarint(out, e.length))
+    var prevEnd = -1L
+    entries.foreach { e =>
+      if (e.offset == prevEnd) writeVarint(out, 0L)
+      else writeVarint(out, e.offset + 1)
+      prevEnd = e.offset + e.length
+    }
+    out.toByteArray
+  }
+
+  private def gzip(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  /** 127-byte v3 header. */
+  private def header(rootOff: Long, rootLen: Long, metaOff: Long, metaLen: Long,
+      dataOff: Long, dataLen: Long, nTiles: Long, nEntries: Long,
+      minZ: Int, maxZ: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(127).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("PMTiles".getBytes(StandardCharsets.US_ASCII)).put(3.toByte)
+    b.putLong(rootOff).putLong(rootLen)
+    b.putLong(metaOff).putLong(metaLen)
+    b.putLong(0L).putLong(0L) // no leaf directories in this minimal writer
+    b.putLong(dataOff).putLong(dataLen)
+    b.putLong(nTiles) // addressed tiles
+    b.putLong(nEntries) // tile entries
+    b.putLong(nTiles) // tile contents (no dedupe)
+    b.put(1.toByte) // clustered: tile ids written ascending
+    b.put(2.toByte).put(2.toByte) // internal compression gzip, tile compression gzip
+    b.put(0.toByte) // tile type: unknown (GeoJSON payloads)
+    b.put(minZ.toByte).put(maxZ.toByte)
+    // bounds E7: world
+    b.putInt(-1800000000).putInt(-850000000).putInt(1800000000).putInt(850000000)
+    b.put(minZ.toByte) // center zoom
+    b.putInt(0).putInt(0) // center lon/lat E7
+    b.array()
+  }
+
+  /** Write a tiled extract (z, tx, ty, feature:string rows) as one PMTiles
+    * archive; one gzip FeatureCollection payload per tile, Hilbert-ordered.
+    * Returns (tiles written, archive bytes). */
+  def write(tiled: DataFrame, path: String): (Long, Long) = {
+    // distributed: group features per tile (the only shuffle), then stream
+    // tiles to the single archive in Hilbert order
+    val perTile = tiled
+      .withColumn("tile_id", udf(tileId _).apply(col("z"), col("tx"), col("ty")))
+      .groupBy(col("tile_id"), col("z"))
+      .agg(concat_ws(",", sort_array(collect_list(col("feature")))).as("fc"))
+      .orderBy(col("tile_id"))
+    val it = perTile.toLocalIterator()
+    val data = new ByteArrayOutputStream()
+    val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    var minZ = 127; var maxZ = 0
+    while (it.hasNext) {
+      val r = it.next()
+      val payload = gzip(
+        ("""{"type":"FeatureCollection","features":[""" + r.getString(2) + "]}")
+          .getBytes(StandardCharsets.UTF_8))
+      val off = data.size().toLong
+      data.write(payload)
+      entries += Entry(r.getLong(0), off, payload.length)
+      val z = r.getInt(1)
+      if (z < minZ) minZ = z; if (z > maxZ) maxZ = z
+    }
+    val root = gzip(encodeDirectory(entries.toSeq))
+    val meta = gzip("""{"name":"graft tile export"}""".getBytes(StandardCharsets.UTF_8))
+    val rootOff = 127L
+    val metaOff = rootOff + root.length
+    val dataOff = metaOff + meta.length
+    val hdr = header(rootOff, root.length, metaOff, meta.length,
+      dataOff, data.size().toLong, entries.size, entries.size,
+      if (entries.isEmpty) 0 else minZ, if (entries.isEmpty) 0 else maxZ)
+    val out = Paths.get(path)
+    Files.createDirectories(out.getParent)
+    val os = Files.newOutputStream(out)
+    try { os.write(hdr); os.write(root); os.write(meta); data.writeTo(os) }
+    finally os.close()
+    (entries.size.toLong, dataOff + data.size())
+  }
+}

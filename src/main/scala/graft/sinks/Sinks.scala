@@ -91,6 +91,46 @@ object Sinks {
     extract.write.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(outDir)
 
+  /** S5 — KML document (the reference's ogr2ogr -f KML, app.py:565-602):
+    * one Placemark per feature with real Point/LineString/Polygon geometry.
+    * Driver-side stream (single-XML-document boundary, like the shapefile
+    * and FeatureCollection sinks). */
+  def kml(extract: DataFrame, path: String): Long = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val idx = extract.columns.zipWithIndex.toMap
+    val hasGeom = idx.contains("kind") && idx.contains("x0")
+    val w = Files.newBufferedWriter(Paths.get(path), StandardCharsets.UTF_8)
+    var n = 0L
+    try {
+      w.write("""<?xml version="1.0" encoding="UTF-8"?>""")
+      w.write("""<kml xmlns="http://www.opengis.net/kml/2.2"><Document>""")
+      val it = extract.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        def d(c: String) = r.getDouble(idx(c))
+        val name = Option(r.get(idx.getOrElse("image_id", 0)))
+          .map(_.toString).getOrElse("")
+        val geom =
+          if (!hasGeom || r.getString(idx("kind")) == "point")
+            s"<Point><coordinates>${d("lon")},${d("lat")}</coordinates></Point>"
+          else if (r.getString(idx("kind")) == "line")
+            "<LineString><coordinates>" +
+              (0 to 2).map(i => s"${d(s"x$i")},${d(s"y$i")}").mkString(" ") +
+              "</coordinates></LineString>"
+          else
+            "<Polygon><outerBoundaryIs><LinearRing><coordinates>" +
+              ((0 to 3) :+ 0).map(i => s"${d(s"x$i")},${d(s"y$i")}").mkString(" ") +
+              "</coordinates></LinearRing></outerBoundaryIs></Polygon>"
+        val esc = name.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        w.write(s"<Placemark><name>$esc</name>$geom</Placemark>")
+        n += 1
+      }
+      w.write("</Document></kml>")
+    } finally w.close()
+    n
+  }
+
   /** S7 — tile tree: one directory per (z, tx, ty), the pmtiles layout
     * analogue; partition pruning makes single-tile reads O(tile). */
   def tileTree(tiled: DataFrame, outDir: String): Unit =

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sinks.{Shapefile, Sinks}
+import graft.sources.{ImageFixture, ImageTable}
+
+/** Round-trip validation of the binary GIS sinks against an independent
+  * minimal parser (ESRI spec layout: header fields, record framing, bbox)
+  * and the JDK XML parser for KML. */
+class ShapefileSpec extends SparkSpec {
+
+  private lazy val feats = {
+    val images = ImageFixture.generate(spark, 400, 2)
+    ImageTable.derive(images)
+      .select(Seq("image_id", "kind", "lon", "lat").map(col) ++
+        (0 to 3).flatMap(i => Seq(col(s"x$i"), col(s"y$i"))): _*)
+  }
+
+  private def readAll(p: String): ByteBuffer = {
+    val b = ByteBuffer.wrap(Files.readAllBytes(Paths.get(p)))
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b
+  }
+
+  /** Parse .shp: (shapeType, declaredLengthWords, bbox, records as flat
+    * coordinate lists). */
+  private def parseShp(p: String): (Int, Int, (Double, Double, Double, Double), Seq[Seq[(Double, Double)]]) = {
+    val b = readAll(p)
+    b.order(ByteOrder.BIG_ENDIAN)
+    assert(b.getInt(0) == 9994, "file code")
+    val lenWords = b.getInt(24)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    val shapeType = b.getInt(32)
+    val bbox = (b.getDouble(36), b.getDouble(44), b.getDouble(52), b.getDouble(60))
+    var pos = 100
+    val recs = scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Double)]]
+    while (pos < b.capacity()) {
+      b.order(ByteOrder.BIG_ENDIAN)
+      val contentWords = b.getInt(pos + 4)
+      b.order(ByteOrder.LITTLE_ENDIAN)
+      val st = b.getInt(pos + 8)
+      assert(st == shapeType, "record type matches header")
+      val pts =
+        if (st == 1) Seq((b.getDouble(pos + 12), b.getDouble(pos + 20)))
+        else {
+          val numPoints = b.getInt(pos + 8 + 4 + 32 + 4)
+          val ptsOff = pos + 8 + 4 + 32 + 4 + 4 + 4 // 1 part
+          (0 until numPoints).map(i =>
+            (b.getDouble(ptsOff + 16 * i), b.getDouble(ptsOff + 16 * i + 8)))
+        }
+      recs += pts
+      pos += 8 + contentWords * 2
+    }
+    (shapeType, lenWords, bbox, recs.toSeq)
+  }
+
+  private def parseDbfCount(p: String): Int = readAll(p).getInt(4)
+
+  test("shapefile triples round-trip: counts, framing, coordinates, bbox") {
+    val dir = Files.createTempDirectory("shp").toString
+    val counts = Shapefile.write(feats, dir)
+    val byKind = feats.collect().groupBy(_.getString(1))
+    for (kind <- Seq("point", "line", "polygon")) {
+      val expectRows = byKind(kind)
+      assert(counts(kind) == expectRows.length)
+      val (st, lenWords, bbox, recs) = parseShp(s"$dir/$kind.shp")
+      assert(st == (kind match { case "point" => 1; case "line" => 3; case _ => 5 }))
+      assert(lenWords * 2 == Files.size(Paths.get(s"$dir/$kind.shp")),
+        "declared length must equal actual file size")
+      assert(recs.length == expectRows.length)
+      assert(parseDbfCount(s"$dir/$kind.dbf") == expectRows.length)
+      // shx frames every record
+      assert((Files.size(Paths.get(s"$dir/$kind.shx")) - 100) / 8 == expectRows.length)
+      // coordinate content: every written point appears within the bbox
+      val flat = recs.flatten
+      assert(flat.forall { case (x, y) =>
+        x >= bbox._1 - 1e-9 && x <= bbox._3 + 1e-9 &&
+          y >= bbox._2 - 1e-9 && y <= bbox._4 + 1e-9 })
+      // per-kind geometry arity: point 1, line 3, polygon 5 (closed ring)
+      val arity = kind match { case "point" => 1; case "line" => 3; case _ => 5 }
+      assert(recs.forall(_.length == arity))
+      if (kind == "polygon") {
+        // closed + clockwise (spec requirement for outer rings)
+        assert(recs.forall(r => r.head == r.last))
+        assert(recs.forall { r =>
+          val s = r.dropRight(1)
+          val area2 = s.indices.map { i =>
+            val (x1, y1) = s(i); val (x2, y2) = s((i + 1) % s.length)
+            (x2 - x1) * (y2 + y1)
+          }.sum
+          area2 > 0 // cw in screen convention: positive sum of (x2-x1)(y2+y1)
+        })
+      }
+    }
+    // exact coordinate spot-check for points
+    val (_, _, _, ptRecs) = parseShp(s"$dir/point.shp")
+    val expectPts = byKind("point").map(r => (r.getDouble(2), r.getDouble(3))).toSet
+    assert(ptRecs.flatten.toSet == expectPts)
+  }
+
+  test("kml document is well-formed XML with one Placemark per feature") {
+    val dir = Files.createTempDirectory("kml").toString
+    val n = Sinks.kml(feats, s"$dir/out.kml")
+    assert(n == feats.count())
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().parse(new java.io.File(s"$dir/out.kml"))
+    assert(doc.getElementsByTagName("Placemark").getLength == n)
+    assert(doc.getElementsByTagName("Point").getLength +
+      doc.getElementsByTagName("LineString").getLength +
+      doc.getElementsByTagName("Polygon").getLength == n)
+  }
+}
