@@ -108,6 +108,45 @@ object Dedup {
       .filter(col("jac") >= tau)
   }
 
+  /** MinHash-LSH with a hot-bucket cap. Bucket CARDINALITY scales with data
+    * by construction (bkey hashes the band signature), but bucket SIZE does
+    * not: boilerplate/duplicate-heavy corpora concentrate in a few buckets
+    * whose in-bucket self-join is quadratic. Buckets above `cap` split into
+    * ceil(size/cap) salt sub-buckets; pairs generate within a sub-bucket
+    * only — worst case O(size·cap) per bucket instead of O(size²), trading
+    * recall only on capped buckets (under-cap buckets are exhaustive and
+    * identical to [[minhashLsh]]). The size histogram is keyed exactly like
+    * the self-join, so the extra join reuses the same partitioning. */
+  def minhashLshCapped(docs: DataFrame, tau: Double = 0.5, cap: Int = 4096): DataFrame = {
+    val sig = signatures(docs).persist()
+    val bandKeys = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bkey"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val sizes = buckets.groupBy(col("band"), col("bkey")).count()
+    val salted = buckets.join(sizes, Seq("band", "bkey"))
+      .withColumn("nsub",
+        greatest(lit(1L), ceil(col("count").cast("double") / lit(cap.toDouble)).cast("long")))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), col("nsub")))
+      .select(col("doc_id"), col("band"), col("bkey"), col("salt"))
+    val l = salted.select(col("band"), col("bkey"), col("salt"), col("doc_id").as("did1"))
+    val r = salted.select(col("band"), col("bkey"), col("salt"), col("doc_id").as("did2"))
+    val pairs = l.join(r, Seq("band", "bkey", "salt"))
+      .filter(col("did1") < col("did2"))
+      .select(col("did1"), col("did2"))
+      .distinct()
+    val s1 = sig.select(col("doc_id").as("did1"), col("sh").as("sh1"))
+    val s2 = sig.select(col("doc_id").as("did2"), col("sh").as("sh2"))
+    pairs.join(s1, Seq("did1")).join(s2, Seq("did2"))
+      .select(col("did1"), col("did2"),
+        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))), 4).as("jac"))
+      .filter(col("jac") >= tau)
+  }
+
   def minhashLshSql(tau: Double = 0.5): String = {
     val mhs = (0 until NumHashes).map(i => s"${minhashSql("shids", i)} AS mh$i").mkString(", ")
     val bands = (0 until Bands).map { b =>

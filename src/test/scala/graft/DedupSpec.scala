@@ -37,6 +37,24 @@ class DedupSpec extends SparkSpec {
     assert(jacs.forall(_ >= 0.5))
   }
 
+  test("minhashLshCapped bounds hot buckets and is a no-op without skew") {
+    // no skew: identical output
+    val a = Dedup.minhashLsh(docs, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.minhashLshCapped(docs, tau = 0.5, cap = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // hot bucket: 500 identical docs land in ONE bucket per band; the cap
+    // must keep every join group ≤ ~cap and prune the quadratic pair set
+    val hot = (0 until 500).map(i => (i.toLong, "same boilerplate text every time"))
+      .toDF("doc_id", "text")
+    val cap = 50
+    val capped = Dedup.minhashLshCapped(hot, tau = 0.5, cap = cap).count()
+    val full = 500L * 499 / 2
+    assert(capped > 0 && capped < full / 4,
+      s"cap must prune the quadratic bucket: $capped vs $full")
+  }
+
   test("simhash: near-dups within small hamming distance, random docs far") {
     val sh = Dedup.simhash(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
