@@ -139,6 +139,36 @@ object SparkEntry {
       Some("tags['parity'] IN ('2', '4')")))
   }
 
+  /** F16 freeform where-DSL through the full plan path (models.py:408-412,
+    * app.py:1298-1315): parsed by WhereParser, compiled to Columns — never
+    * raw expr() on untrusted text. */
+  private def f16WhereDsl(s: SparkSession, dir: String): DataFrame = {
+    val req = SnapshotRequest(
+      geometry = MultiPolygon(Seq(Fixtures.requestPolygon)),
+      geometryTypes = GeomType.all,
+      allGeometry = Some(TypeFilters(attributes = Some(Seq("parity")))),
+      where = Some("tags['parity'] IN ('0', '6') OR tags['parity'] = '3'"))
+    PlanBuilder.build(GeoCols.derivedFeatures(s, dir), req)
+  }
+
+  /** P6/U1/U3: per-type filters with branch grouping — point+line share
+    * filters (collapse into one branch, builder.py:668-671), polygon keeps
+    * the default projection; schemas align via unionByName null-fill
+    * (builder.py:557-578). */
+  private def geoPertypeUnion(s: SparkSession, dir: String): DataFrame = {
+    val shared = TypeFilters(
+      tags = Some(TagFilter.JoinOr(Map("parity" -> Seq("1", "2")))),
+      attributes = Some(Seq("parity")))
+    val req = SnapshotRequest(
+      geometry = MultiPolygon(Seq(Fixtures.requestPolygon)),
+      geometryTypes = GeomType.all,
+      perType = Map(
+        GeomType.Point -> shared,
+        GeomType.Line -> shared,
+        GeomType.Polygon -> TypeFilters(attributes = Some(Seq()))))
+    PlanBuilder.build(GeoCols.derivedFeatures(s, dir), req)
+  }
+
   /** W2-ish window ops: row_number + running sum per user over events. */
   private def w1Window(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -275,6 +305,8 @@ object SparkEntry {
     "geo_multi_extract" -> ((s, d) => geoMultiExtract(s, d)),
     "geo_centroid" -> ((s, d) => geoCentroid(s, d)),
     "export_category" -> ((s, d) => exportCategory(s, d)),
+    "f16_where_dsl" -> ((s, d) => f16WhereDsl(s, d)),
+    "geo_pertype_union" -> ((s, d) => geoPertypeUnion(s, d)),
     "geo_csv_proj" -> ((s, d) => geoCsvProj(s, d)),
     "w1_window" -> ((s, d) => w1Window(s, d)),
     "u2_union" -> ((s, d) => u2Union(s, d)),
@@ -419,6 +451,32 @@ object SparkEntry {
          |WHERE ${GeoCols.featureIntersectsSql(geom, "kind", "lon", "lat", xs, ys)}
          |  AND kind IN ('line', 'polygon')
          |  AND (pid % 7)::VARCHAR IN ('2', '4')""".stripMargin
+    },
+    "f16_where_dsl" -> {
+      val xs = (0 to 3).map(i => s"x$i"); val ys = (0 to 3).map(i => s"y$i")
+      val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
+      s"""WITH pts AS ($P),
+         |f AS (${GeoCols.featuresSql})
+         |SELECT pid AS image_id, kind AS osm_type, (pid % 7)::VARCHAR AS parity,
+         |  lon, lat
+         |FROM f
+         |WHERE ${GeoCols.featureIntersectsSql(geom, "kind", "lon", "lat", xs, ys)}
+         |  AND ((pid % 7)::VARCHAR IN ('0', '6') OR (pid % 7)::VARCHAR = '3')""".stripMargin
+    },
+    "geo_pertype_union" -> {
+      val xs = (0 to 3).map(i => s"x$i"); val ys = (0 to 3).map(i => s"y$i")
+      val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
+      val hit = GeoCols.featureIntersectsSql(geom, "kind", "lon", "lat", xs, ys)
+      s"""WITH pts AS ($P),
+         |f AS (${GeoCols.featuresSql})
+         |SELECT pid AS image_id, kind AS osm_type, (pid % 7)::VARCHAR AS parity,
+         |  lon, lat
+         |FROM f
+         |WHERE $hit AND kind IN ('point', 'line')
+         |  AND (pid % 7)::VARCHAR IN ('1', '2')
+         |UNION ALL
+         |SELECT pid, kind, CAST(NULL AS VARCHAR), lon, lat
+         |FROM f WHERE $hit AND kind = 'polygon'""".stripMargin
     },
     "geo_csv_proj" ->
       s"""WITH pts AS ($P)
