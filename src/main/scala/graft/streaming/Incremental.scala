@@ -47,4 +47,33 @@ object Incremental {
   /** R3 — freshness watermark of a lineage/snapshot table. */
   def watermark(snapshot: DataFrame, tsCol: String = "committed_at"): Long =
     snapshot.agg(max(col(tsCol))).collect().head.getLong(0)
+
+  // ---- Structured Streaming replication apply --------------------------------
+
+  final case class FeatureUpdate(id: Long, version: Long, payload: String)
+  final case class VersionState(maxVersion: Long)
+
+  /** R1 as a STREAM: the reference's minutely replication apply
+    * (backend/replication — osmium diffs → osm2pgsql upsert) expressed as
+    * custom keyed state over flatMapGroupsWithState: per feature id the state
+    * holds the highest applied version; a micro-batch emits only strictly
+    * newer versions (stale/duplicate diffs are suppressed exactly once,
+    * regardless of arrival order across batches). State size is O(1) per
+    * live key and partitioned by id — scales with executors. */
+  def latestWinsStream(updates: org.apache.spark.sql.Dataset[FeatureUpdate]):
+      org.apache.spark.sql.Dataset[FeatureUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import updates.sparkSession.implicits._
+    updates.groupByKey(_.id)
+      .flatMapGroupsWithState[VersionState, FeatureUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[FeatureUpdate], state: GroupState[VersionState]) =>
+          val cur = state.getOption.map(_.maxVersion).getOrElse(Long.MinValue)
+          val best = rows.maxBy(_.version)
+          if (best.version > cur) {
+            state.update(VersionState(best.version))
+            Iterator.single(best)
+          } else Iterator.empty
+      }
+  }
 }

@@ -41,6 +41,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("flatMapGroupsWithState replication stream suppresses stale versions across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Incremental.FeatureUpdate]
+    val q = Incremental.latestWinsStream(in.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("repl_out").start()
+    // batch 1: v1 then v3 for id 1 (one emit, the max), v2 for id 2
+    in.addData(
+      Incremental.FeatureUpdate(1, 1, "a1"),
+      Incremental.FeatureUpdate(1, 3, "a3"),
+      Incremental.FeatureUpdate(2, 2, "b2"))
+    q.processAllAvailable()
+    // batch 2: stale v2 for id 1 (suppressed by state), newer v4 (emitted),
+    // duplicate v2 for id 2 (suppressed)
+    in.addData(
+      Incremental.FeatureUpdate(1, 2, "a2-stale"),
+      Incremental.FeatureUpdate(2, 2, "b2-dup"))
+    q.processAllAvailable()
+    in.addData(Incremental.FeatureUpdate(1, 4, "a4"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT id, version, payload FROM repl_out")
+      .as[Incremental.FeatureUpdate].collect().toSet
+    assert(got == Set(
+      Incremental.FeatureUpdate(1, 3, "a3"),
+      Incremental.FeatureUpdate(2, 2, "b2"),
+      Incremental.FeatureUpdate(1, 4, "a4")))
+  }
+
   test("upsert: latest version wins, others pass through") {
     import spark.implicits._
     val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
