@@ -173,6 +173,13 @@ object Similarity {
       .select(col("vid1"), col("vid2"), col("cos"))
   }
 
+  /** Size-adaptive near-dup: plane count from the actual table size
+    * ([[planesFor]]) + the hot-bucket cap — the parameterization a 10^12-row
+    * corpus needs picked automatically (one count() to size the index,
+    * standard for index builds). */
+  def nearDupLshAuto(emb: DataFrame, tau: Double = 0.9, cap: Int = 4096): DataFrame =
+    nearDupLshCapped(emb, tau, planesFor(emb.count()), cap)
+
   // ---- IVF (inverted-file) with a TRAINED coarse quantizer -------------------
   //
   // Lloyd k-means with everything pinned so the DuckDB oracle reproduces it

@@ -79,6 +79,8 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.nearDupLshCapped(emb, 0.9, cap = 1000)
       .orderBy("vid1", "vid2").collect()
     assert(a.sameElements(b))
+    // auto variant sizes planes from the table and still finds pairs
+    assert(Similarity.nearDupLshAuto(emb, 0.9).count() > 0)
   }
 
   test("trained IVF recalls brute-force neighbors on clustered data") {
