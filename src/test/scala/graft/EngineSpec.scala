@@ -84,6 +84,34 @@ class EngineSpec extends SparkSpec {
     assert(salted == broadcastRes)
   }
 
+  test("knn with a 100-query TABLE equals the brute oracle (mixed round retirement)") {
+    // queries spread worldwide: different queries satisfy in different
+    // expansion rounds, exercising the per-query radius state machine the
+    // 4-query gate barely touches
+    val rng = new Fixtures.Lcg(909L)
+    val qs = (1 to 100).map(q =>
+      (q, -179.0 + 358.0 * rng.nextDouble(), -84.0 + 168.0 * rng.nextDouble()))
+    val k = 5
+    val got = Knn.knn(GeoCols.derivedPoints(spark, sfDir), qs.toDF("qid", "qlon", "qlat"), k)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val expect = qs.flatMap { case (qid, qlon, qlat) =>
+      points.map { case (pid, lon, lat) =>
+        (qid, pid, Geo.haversineMeters(lon, lat, qlon, qlat)) }
+        .sortBy(t => (t._3, t._2)).take(k).zipWithIndex
+        .map { case ((_, pid, _), i) => (qid, i + 1, pid) }
+    }.toSet
+    assert(got == expect)
+  }
+
+  test("knn k > |points| converges via the whole-globe bound and returns everything") {
+    val few = points.take(7)
+    val df = few.toDF("pid", "lon", "lat")
+    val out = Knn.knn(df, Seq((1, 0.0, 0.0)).toDF("qid", "qlon", "qlat"), k = 50)
+      .collect()
+    assert(out.length == 7)
+    assert(out.map(_.getLong(2)).toSet == few.map(_._1).toSet)
+  }
+
   test("knn equals brute-force linear-scan oracle") {
     val k = 8
     val got = Knn.knn(spark, GeoCols.derivedPoints(spark, sfDir),
