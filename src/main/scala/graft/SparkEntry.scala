@@ -279,6 +279,7 @@ object SparkEntry {
     "attr_json" -> ((s, d) => attrJson(s, d)),
     "time_window" -> ((s, d) => timeWindow(s, d)),
     "token_count" -> ((s, d) => TextOps.tokenCount(docs(s, d))),
+    "token_bpe" -> ((s, d) => TextOps.tokenCountBpe(docs(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(docs(s, d))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
@@ -364,6 +365,7 @@ object SparkEntry {
         |  COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "token_count" -> TextOps.tokenCountSql,
+    "token_bpe" -> TextOps.tokenCountBpeSql,
     "text_quality" -> TextOps.qualitySql,
     "lang_id" -> TextOps.langIdSql,
     "doc_fingerprint" -> TextOps.fingerprintSql,

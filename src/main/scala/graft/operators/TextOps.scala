@@ -37,6 +37,24 @@ object TextOps {
        |  len(list_distinct($tokensSql)) AS n_unique
        |FROM documents""".stripMargin
 
+  /** BPE-ish subword pre-tokenization: greedy ≤4-char letter pieces, single
+    * digits (GPT-style digit splitting), single punctuation marks — a
+    * deterministic regex approximation of a byte-pair pre-tokenizer, the
+    * second token-budget estimator next to whitespace counting. Plain
+    * character classes + alternation behave identically in Java regex and
+    * DuckDB's RE2. */
+  val BpePattern = "[a-z]{1,4}|[0-9]|[^a-z0-9 ]"
+
+  def tokenCountBpe(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+        .as("n_subtok"))
+
+  val tokenCountBpeSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(lower(text), '$BpePattern')) AS n_subtok
+       |FROM documents""".stripMargin
+
   // ---- quality scoring ------------------------------------------------------
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
