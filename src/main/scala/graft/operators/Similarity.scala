@@ -155,9 +155,12 @@ object Similarity {
     val b = emb.select(col("vec_id"), col("embedding"),
       bucketCol(col("embedding"), planes).as("bucket"),
       sqrt(dotCol(col("embedding"), col("embedding"))).as("n"))
-    // bucket histogram is bounded by 2^planes rows → broadcast
+    // bucket histogram is bounded by 2^planes rows: broadcast while that is
+    // dim-table-sized; at high plane counts fall back to a shuffle join on
+    // bucket (the same key the self-join shuffles on — exchange reused)
     val sizes = b.groupBy(col("bucket")).agg(count(lit(1)).as("bsz"))
-    val salted = b.join(broadcast(sizes), Seq("bucket"))
+    val sizesSide = if (planes <= 16) broadcast(sizes) else sizes
+    val salted = b.join(sizesSide, Seq("bucket"))
       .withColumn("nsub",
         greatest(lit(1L), ceil(col("bsz").cast("double") / lit(cap.toDouble)).cast("long")))
       .withColumn("salt", pmod(xxhash64(col("vec_id")), col("nsub")))

@@ -122,34 +122,46 @@ object PmTiles {
       .groupBy(col("tile_id"), col("z"))
       .agg(concat_ws(",", sort_array(collect_list(col("feature")))).as("fc"))
       .orderBy(col("tile_id"))
+    val out = Paths.get(path)
+    Files.createDirectories(out.getParent)
+    // tile payloads stream to a sidecar file — only the directory entries
+    // (16 bytes/tile) stay in driver memory, so archive size is disk-bound
+    val dataTmp = Files.createTempFile(out.getParent, "pmtiles-data", ".tmp")
+    val dataOut = new java.io.BufferedOutputStream(Files.newOutputStream(dataTmp))
     val it = perTile.toLocalIterator()
-    val data = new ByteArrayOutputStream()
     val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    var dataLen = 0L
     var minZ = 127; var maxZ = 0
-    while (it.hasNext) {
-      val r = it.next()
-      val payload = gzip(
-        ("""{"type":"FeatureCollection","features":[""" + r.getString(2) + "]}")
-          .getBytes(StandardCharsets.UTF_8))
-      val off = data.size().toLong
-      data.write(payload)
-      entries += Entry(r.getLong(0), off, payload.length)
-      val z = r.getInt(1)
-      if (z < minZ) minZ = z; if (z > maxZ) maxZ = z
-    }
+    try {
+      while (it.hasNext) {
+        val r = it.next()
+        val payload = gzip(
+          ("""{"type":"FeatureCollection","features":[""" + r.getString(2) + "]}")
+            .getBytes(StandardCharsets.UTF_8))
+        dataOut.write(payload)
+        entries += Entry(r.getLong(0), dataLen, payload.length)
+        dataLen += payload.length
+        val z = r.getInt(1)
+        if (z < minZ) minZ = z; if (z > maxZ) maxZ = z
+      }
+    } finally dataOut.close()
     val root = gzip(encodeDirectory(entries.toSeq))
     val meta = gzip("""{"name":"graft tile export"}""".getBytes(StandardCharsets.UTF_8))
     val rootOff = 127L
     val metaOff = rootOff + root.length
     val dataOff = metaOff + meta.length
     val hdr = header(rootOff, root.length, metaOff, meta.length,
-      dataOff, data.size().toLong, entries.size, entries.size,
+      dataOff, dataLen, entries.size, entries.size,
       if (entries.isEmpty) 0 else minZ, if (entries.isEmpty) 0 else maxZ)
-    val out = Paths.get(path)
-    Files.createDirectories(out.getParent)
     val os = Files.newOutputStream(out)
-    try { os.write(hdr); os.write(root); os.write(meta); data.writeTo(os) }
-    finally os.close()
-    (entries.size.toLong, dataOff + data.size())
+    try {
+      os.write(hdr); os.write(root); os.write(meta)
+      Files.copy(dataTmp, os)
+    } finally {
+      os.close()
+      Files.deleteIfExists(dataTmp)
+      ()
+    }
+    (entries.size.toLong, dataOff + dataLen)
   }
 }

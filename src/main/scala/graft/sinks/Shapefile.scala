@@ -81,30 +81,32 @@ object Shapefile {
       pts.flatMap { case (x, y) => led(x) ++ led(y) }.toArray
   }
 
-  /** dBASE III attribute table: every column as a fixed-width character
-    * field (the reference's shp exports stringify jsonb attributes too). */
-  private def writeDbf(path: String, fieldNames: Seq[String],
-      rows: Iterator[Seq[String]], width: Int = 64): Int = {
-    val names = fieldNames.map(_.replaceAll("[^A-Za-z0-9_]", "_").take(10))
-    val recordSize = 1 + names.size * width
-    val headerSize = 32 + names.size * 32 + 1
-    val out = new Patchable(path)
-    val h = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
-    h.put(0x03.toByte).put(124.toByte).put(1.toByte).put(1.toByte) // version, YMD
-    h.putInt(0) // record count — patched
-    h.putShort(headerSize.toShort).putShort(recordSize.toShort)
-    h.position(32)
-    out.writeBytes(h.array())
-    names.foreach { n =>
-      val f = ByteBuffer.allocate(32)
-      f.put(n.getBytes(StandardCharsets.US_ASCII).padTo(11, 0.toByte))
-      f.put('C'.toByte); f.putInt(0); f.put(width.toByte); f.put(0.toByte)
-      f.position(32)
-      out.writeBytes(f.array())
+  /** dBASE III attribute table writer, streamed record by record (every
+    * column as a fixed-width character field — the reference's shp exports
+    * stringify jsonb attributes too). */
+  private final class DbfWriter(path: String, fieldNames: Seq[String], width: Int = 64) {
+    private val names = fieldNames.map(_.replaceAll("[^A-Za-z0-9_]", "_").take(10))
+    private val recordSize = 1 + names.size * width
+    private val out = new Patchable(path)
+    private var n = 0
+    locally {
+      val headerSize = 32 + names.size * 32 + 1
+      val h = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+      h.put(0x03.toByte).put(124.toByte).put(1.toByte).put(1.toByte) // version, YMD
+      h.putInt(0) // record count — patched
+      h.putShort(headerSize.toShort).putShort(recordSize.toShort)
+      h.position(32)
+      out.writeBytes(h.array())
+      names.foreach { nm =>
+        val f = ByteBuffer.allocate(32)
+        f.put(nm.getBytes(StandardCharsets.US_ASCII).padTo(11, 0.toByte))
+        f.put('C'.toByte); f.putInt(0); f.put(width.toByte); f.put(0.toByte)
+        f.position(32)
+        out.writeBytes(f.array())
+      }
+      out.writeBytes(Array(0x0D.toByte))
     }
-    out.writeBytes(Array(0x0D.toByte))
-    var n = 0
-    rows.foreach { vals =>
+    def write(vals: Seq[String]): Unit = {
       val rec = new Array[Byte](recordSize)
       java.util.Arrays.fill(rec, ' '.toByte)
       vals.zipWithIndex.foreach { case (v, i) =>
@@ -114,11 +116,13 @@ object Shapefile {
       out.writeBytes(rec)
       n += 1
     }
-    out.writeBytes(Array(0x1A.toByte)) // EOF
-    out.flush()
-    out.patch(4, le(n))
-    out.close()
-    n
+    def close(): Int = {
+      out.writeBytes(Array(0x1A.toByte)) // EOF
+      out.flush()
+      out.patch(4, le(n))
+      out.close()
+      n
+    }
   }
 
   private def kindShapeType(kind: String): Int = kind match {
@@ -135,11 +139,13 @@ object Shapefile {
     val st = kindShapeType(kind)
     val shp = new Patchable(s"$base.shp")
     val shx = new Patchable(s"$base.shx")
+    val dbf = new DbfWriter(s"$base.dbf", fieldNames)
     shp.writeBytes(header(st))
     shx.writeBytes(header(st))
     val ext = Extent()
-    val dbfRows = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
     var recNo = 0
+    // one streaming pass feeds all three files — nothing is buffered beyond
+    // the current record
     rows.foreach { case (pts, attrs) =>
       recNo += 1
       val shape = if (st == 1) pointShape(pts.head._1, pts.head._2)
@@ -147,7 +153,7 @@ object Shapefile {
       pts.foreach { case (x, y) => ext.add(x, y) }
       shx.writeBytes(be((shp.written / 2).toInt) ++ be(shape.length / 2))
       shp.writeBytes(be(recNo) ++ be(shape.length / 2) ++ shape)
-      dbfRows += attrs
+      dbf.write(attrs)
     }
     shp.flush(); shx.flush()
     shp.patch(24, be((shp.written / 2).toInt))
@@ -157,7 +163,7 @@ object Shapefile {
       shx.patch(36, ext.bytes)
     }
     shp.close(); shx.close()
-    writeDbf(s"$base.dbf", fieldNames, dbfRows.iterator)
+    dbf.close()
     recNo
   }
 
