@@ -238,8 +238,9 @@ object Bench {
     val thr32 = totalImages / t32
     val eff = sc.eff
     // absolute peak throughput at 16 cores (the best level this host has —
-    // 32 vCPUs map onto fewer physical cores), independent of the pair
-    val (peakSec, _, _) = if (HiCpus >= 16) sc.hi else timedRun(16)
+    // 32 vCPUs map onto fewer physical cores), independent of the pair; the
+    // label is only reused for the pair's hi level when it IS 16 cores
+    val (peakSec, _, _) = if (HiCpus == 16) sc.hi else timedRun(16)
     val peakThr = totalImages / peakSec
 
     // ---- per-query timings on the driver tables ---------------------------

@@ -47,7 +47,10 @@ object BenchProbe {
       val s = session(cpus)
       s.sparkContext.addSparkListener(new StageStats)
       println(s"=== local[$cpus] ===")
-      val images = ImageFixture.read(s, Bench.FixtureDir)
+      // derive() fills any columns a pre-vertex-era fixture lacks (idempotent
+      // on current fixtures)
+      val images = graft.sources.ImageTable.derive(
+        ImageFixture.read(s, Bench.FixtureDir))
       time(s"scan count 1")(images.count())
       time(s"scan count 2")(images.count())
       time(s"scan count 3")(images.count())

@@ -110,6 +110,7 @@ object SparkEntry {
         tags = Some(TagFilter.JoinOr(Map("parity" -> Seq("1", "3", "5")))),
         attributes = Some(Seq("parity")))))
     PlanBuilder.build(GeoCols.derivedFeatures(s, dir), req)
+      .select(col("image_id"), col("osm_type"), col("parity"), col("lon"), col("lat"))
   }
 
   /** P4 centroid=true through PlanBuilder.build: ST_Centroid(geom) AS geom
@@ -137,6 +138,7 @@ object SparkEntry {
     graft.plan.CustomExport.extractCategory(staged, graft.model.Category(
       "infra", Seq(GeomType.Line, GeomType.Polygon), Seq("parity"),
       Some("tags['parity'] IN ('2', '4')")))
+      .select(col("image_id"), col("osm_type"), col("parity"), col("lon"), col("lat"))
   }
 
   /** F16 freeform where-DSL through the full plan path (models.py:408-412,
@@ -149,6 +151,7 @@ object SparkEntry {
       allGeometry = Some(TypeFilters(attributes = Some(Seq("parity")))),
       where = Some("tags['parity'] IN ('0', '6') OR tags['parity'] = '3'"))
     PlanBuilder.build(GeoCols.derivedFeatures(s, dir), req)
+      .select(col("image_id"), col("osm_type"), col("parity"), col("lon"), col("lat"))
   }
 
   /** P6/U1/U3: per-type filters with branch grouping — point+line share
@@ -167,6 +170,7 @@ object SparkEntry {
         GeomType.Line -> shared,
         GeomType.Polygon -> TypeFilters(attributes = Some(Seq()))))
     PlanBuilder.build(GeoCols.derivedFeatures(s, dir), req)
+      .select(col("image_id"), col("osm_type"), col("parity"), col("lon"), col("lat"))
   }
 
   /** W2-ish window ops: row_number + running sum per user over events. */

@@ -447,17 +447,15 @@ object GeoCols {
     * and SQL twins (GeometrySpec proves kernel ≡ Column row-for-row), so
     * oracle parity is preserved. Vertices are passed as one packed array
     * (x0,y0..x3,y3). */
-  def featureIntersectsUdf(geom: MultiPolygon): Column => Column = {
-    val f = udf((kind: String, lon: Double, lat: Double, v: Seq[Double]) => {
+  def featureIntersectsUdf(geom: MultiPolygon): (Column, Column, Column, Column) => Column =
+    udf((kind: String, lon: Double, lat: Double, v: Seq[Double]) => {
       val pts = Array.tabulate(4)(i => Pt(v(2 * i), v(2 * i + 1)))
       kind match {
         case "point" => geom.polys.exists(p => graft.geo.Geo.pointInPolygon(lon, lat, p))
         case "line" => geom.polys.exists(p => graft.geo.Geo.lineIntersectsPolygon(pts.take(3), p))
         case _ => geom.polys.exists(p => graft.geo.Geo.polygonIntersectsPolygon(graft.geo.Ring(pts), p))
       }
-    })
-    packed => f(col("kind"), col("lon"), col("lat"), packed)
-  }
+    }).apply(_, _, _, _)
 
   /** Packed vertex array column (x0,y0..x3,y3) for the kernel UDFs. */
   def packedVerts(xs: Seq[Column], ys: Seq[Column]): Column =

@@ -101,11 +101,17 @@ object Dedup {
       .distinct()
     val s1 = sig.select(col("doc_id").as("did1"), col("sh").as("sh1"))
     val s2 = sig.select(col("doc_id").as("did2"), col("sh").as("sh2"))
-    pairs.join(s1, Seq("did1")).join(s2, Seq("did2"))
+    val result = pairs.join(s1, Seq("did1")).join(s2, Seq("did2"))
       .select(col("did1"), col("did2"),
         round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))), 4).as("jac"))
       .filter(col("jac") >= tau)
+      .persist()
+    // materialize the (pair-sized) result, then release the signature cache —
+    // the widest intermediate must not outlive the call
+    result.count()
+    sig.unpersist()
+    result
   }
 
   /** MinHash-LSH with a hot-bucket cap. Bucket CARDINALITY scales with data
@@ -140,11 +146,17 @@ object Dedup {
       .distinct()
     val s1 = sig.select(col("doc_id").as("did1"), col("sh").as("sh1"))
     val s2 = sig.select(col("doc_id").as("did2"), col("sh").as("sh2"))
-    pairs.join(s1, Seq("did1")).join(s2, Seq("did2"))
+    val result = pairs.join(s1, Seq("did1")).join(s2, Seq("did2"))
       .select(col("did1"), col("did2"),
         round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))), 4).as("jac"))
       .filter(col("jac") >= tau)
+      .persist()
+    // materialize the (pair-sized) result, then release the signature cache —
+    // the widest intermediate must not outlive the call
+    result.count()
+    sig.unpersist()
+    result
   }
 
   def minhashLshSql(tau: Double = 0.5): String = {

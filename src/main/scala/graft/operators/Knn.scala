@@ -103,13 +103,13 @@ object Knn {
     val fact = points
       .withColumn("cell", GeoCols.cellCol(res, col("lon"), col("lat")))
     var qs = queries.select(col("qid"), col("qlon"), col("qlat"))
-      .withColumn("radius", lit(1))
+      .withColumn("radius", lit(1)).persist() // |queries| rows
     var retired = Vector.empty[DataFrame]
     var iter = 0
     var remaining = true
     while (remaining && iter < maxRounds) {
       iter += 1
-      val qcur = qs.persist() // |queries| rows
+      val qcur = qs
       val topk = roundTopK(fact, qcur, k, res).persist() // ≤ k·|queries| rows
       val stats = topk.groupBy(col("qid"))
         .agg(max(col("dist_m")).as("kd"), count(lit(1)).as("n"))
@@ -117,14 +117,23 @@ object Knn {
         .withColumn("bound", boundUdf(col("qlon"), col("qlat"), col("radius")))
         .withColumn("sat", (col("bound") === lit(Double.MaxValue)) ||
           (coalesce(col("n"), lit(0L)) >= k && col("kd") <= col("bound")))
-      retired :+= topk.join(
+      // materialize this round's retired slice (≤ k·|queries| rows) and the
+      // next round's query state BEFORE freeing the round's intermediates —
+      // only result-sized caches outlive the loop, and nothing recomputes
+      val slice = topk.join(
         broadcast(state.filter(col("sat")).select(col("qid"))),
-        Seq("qid"), "leftsemi")
+        Seq("qid"), "leftsemi").persist()
+      slice.count()
+      retired :+= slice
       qs = state.filter(!col("sat"))
         .select(col("qid"), col("qlon"), col("qlat"),
-          (col("radius") * 2).as("radius"))
-      remaining = !qs.isEmpty // the round's one driver-side boolean
+          (col("radius") * 2).as("radius")).persist()
+      remaining = qs.count() > 0 // the round's one driver-side scalar
+      topk.unpersist()
+      qcur.unpersist()
+      ()
     }
+    qs.unpersist()
     require(!remaining, s"kNN did not converge in $maxRounds rounds")
     retired.reduce(_.unionByName(_))
   }

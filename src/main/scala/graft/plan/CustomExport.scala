@@ -54,8 +54,12 @@ object CustomExport {
     cat.where.foreach(w =>
       b = b.filter(PlanBuilder.compileWhere(WhereParser.parse(w))))
     val attrs = cat.select.map(a => col("tags")(a).as(PlanBuilder.sanitize(a)))
+    // real geometry rides along (the reference's custom-export select always
+    // includes geom, builder.py:967-970) so format sinks serialize true shapes
+    val geomCols = Seq(col("lon"), col("lat")) ++
+      (0 to 3).flatMap(i => Seq(col(s"x$i"), col(s"y$i")))
     b.select(Seq(col("image_id"), col("kind").as("osm_type")) ++ attrs ++
-      Seq(col("lon"), col("lat")): _*)
+      geomCols: _*)
   }
 
   /** Stage once, then run all categories concurrently on FAIR pools, writing
@@ -89,7 +93,17 @@ object CustomExport {
             graft.sinks.Sinks.csv(df, s"$outDir/${c.name}/csv")
           case f => throw new IllegalArgumentException(s"unknown format $f")
         }
-        c.name -> df.count()
+        // row count from what was already written (parquet footer counts /
+        // lineage manifests), never a redundant extract pass
+        val n =
+          if (formats.contains("parquet"))
+            spark.read.parquet(s"$outDir/${c.name}/parquet").count()
+          else if (formats.contains("geojson"))
+            graft.lineage.Lineage.finish(spark, s"$outDir/${c.name}/geojson")
+              .agg(org.apache.spark.sql.functions.sum("rowCount"))
+              .collect().head.getLong(0)
+          else df.count()
+        c.name -> n
       }
     }
     try Await.result(Future.sequence(futs), Duration.Inf).toMap

@@ -105,7 +105,8 @@ object PlanBuilder {
     // the equivalent Column tree is 18-edge × 4-vertex and falls out of
     // codegen — BENCH.md finding #2). The coarse prefilter stays a pushable
     // Column so scan pruning is untouched.
-    val exact = GeoCols.featureIntersectsUdf(geom)(GeoCols.packedVerts(xs, ys))
+    val exact = GeoCols.featureIntersectsUdf(geom)(
+      kind, lon, lat, GeoCols.packedVerts(xs, ys))
     cellIn(cell, expanded) && (cellIn(cell, fullCells) || exact)
   }
 
@@ -144,8 +145,12 @@ object PlanBuilder {
     val geomCols =
       if (csv) Seq(clon.as("longitude"), clat.as("latitude"),
         upper(col("kind")).as("geom_type")) // P3, builder.py:152-155
-      else if (centroid) Seq(clon.as("lon"), clat.as("lat")) // P4
-      else Seq(col("lon"), col("lat"))
+      else if (centroid) Seq(clon.as("lon"), clat.as("lat")) // P4: geom REPLACED
+      else // default: real geometry rides along (the reference's select list
+        // always includes `geom`, builder.py:533-535) so sinks can serialize
+        // true LineString/Polygon shapes
+        Seq(col("lon"), col("lat")) ++
+          (0 to 3).flatMap(i => Seq(col(s"x$i"), col(s"y$i")))
     attrs match {
       case None => // P1: full default projection (builder.py:533-535)
         Seq(col("image_id"), col("kind").as("osm_type"), col("tags")) ++
@@ -207,11 +212,16 @@ object PlanBuilder {
       (0 to 3).flatMap(i => Seq(s"x$i", s"y$i"))
     val props = to_json(struct(df.columns.filterNot(geomColumns)
       .map(col).toIndexedSeq: _*))
-    val geomJson =
-      if (have("kind") && have("x0"))
-        GeoCols.geoJsonGeomCol(col("kind"), col("lon"), col("lat"), vxs, vys)
-      else concat(lit("""{"type":"Point","coordinates":["""),
+    // the kind column is `kind` on raw feature tables and `osm_type` on
+    // build() outputs (same values, renamed by the projection)
+    val kindCol = if (have("kind")) Some(col("kind"))
+      else if (have("osm_type")) Some(col("osm_type")) else None
+    val geomJson = kindCol match {
+      case Some(k) if have("x0") =>
+        GeoCols.geoJsonGeomCol(k, col("lon"), col("lat"), vxs, vys)
+      case _ => concat(lit("""{"type":"Point","coordinates":["""),
         col("lon").cast("string"), lit(","), col("lat").cast("string"), lit("]}"))
+    }
     df.select(concat(
       lit("""{"type":"Feature","geometry":"""), geomJson,
       lit(""","properties":"""), props, lit("}")).as("feature"))

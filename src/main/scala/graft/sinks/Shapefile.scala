@@ -171,8 +171,11 @@ object Shapefile {
     * columns) as per-kind shapefile triples under `dir`. Attribute columns =
     * everything except the geometry columns, stringified. Returns kind →
     * record count. */
-  def write(df: DataFrame, dir: String): Map[String, Int] = {
+  def write(df0: DataFrame, dir: String): Map[String, Int] = {
     Files.createDirectories(Paths.get(dir))
+    // `kind` on raw feature tables, `osm_type` on build() outputs
+    val df = if (df0.columns.contains("kind")) df0
+      else df0.withColumn("kind", df0.col("osm_type"))
     val geomCols = Set("kind", "lon", "lat", "cell") ++
       (0 to 3).flatMap(i => Seq(s"x$i", s"y$i"))
     val attrCols = df.columns.filterNot(geomCols).toSeq

@@ -99,7 +99,9 @@ object Sinks {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths}
     val idx = extract.columns.zipWithIndex.toMap
-    val hasGeom = idx.contains("kind") && idx.contains("x0")
+    // `kind` on raw feature tables, `osm_type` on build() outputs
+    val kindIdx = idx.get("kind").orElse(idx.get("osm_type"))
+    val hasGeom = kindIdx.isDefined && idx.contains("x0")
     val w = Files.newBufferedWriter(Paths.get(path), StandardCharsets.UTF_8)
     var n = 0L
     try {
@@ -109,12 +111,14 @@ object Sinks {
       while (it.hasNext) {
         val r = it.next()
         def d(c: String) = r.getDouble(idx(c))
-        val name = Option(r.get(idx.getOrElse("image_id", 0)))
-          .map(_.toString).getOrElse("")
+        // honest name: the id column when present, empty otherwise (never a
+        // silent substitute column)
+        val name = idx.get("image_id")
+          .flatMap(i => Option(r.get(i))).map(_.toString).getOrElse("")
         val geom =
-          if (!hasGeom || r.getString(idx("kind")) == "point")
+          if (!hasGeom || r.getString(kindIdx.get) == "point")
             s"<Point><coordinates>${d("lon")},${d("lat")}</coordinates></Point>"
-          else if (r.getString(idx("kind")) == "line")
+          else if (r.getString(kindIdx.get) == "line")
             "<LineString><coordinates>" +
               (0 to 2).map(i => s"${d(s"x$i")},${d(s"y$i")}").mkString(" ") +
               "</coordinates></LineString>"

@@ -59,7 +59,9 @@ class PlanBuilderSpec extends SparkSpec {
         tags = Some(TagFilter.JoinOr(Map("amenity" -> Seq("shop", "toilet")))),
         attributes = Some(Seq("name")))))
     val df = PlanBuilder.build(images, req)
-    assert(df.columns.toSeq == Seq("image_id", "osm_type", "name", "lon", "lat"))
+    // geometry (anchor + vertex columns) always rides along, builder.py:533-535
+    assert(df.columns.toSeq == Seq("image_id", "osm_type", "name", "lon", "lat") ++
+      (0 to 3).flatMap(i => Seq(s"x$i", s"y$i")))
     val got = df.collect().map(r => (r.getString(0), r.getString(2))).toSet
     val expect = derived.filter { case (_, lon, lat, tags, kind, _) =>
       kind == "point" && inGeom(lon, lat) &&
@@ -134,15 +136,19 @@ class PlanBuilderSpec extends SparkSpec {
     assert(kinds.subsetOf(Set("POINT", "LINE", "POLYGON")))
   }
 
-  test("GeoJSON feature sink shape") {
+  test("GeoJSON feature sink emits REAL geometry through build()") {
     val req = SnapshotRequest(geometry = geom,
       allGeometry = Some(TypeFilters(attributes = Some(Seq("name")))))
     val feats = PlanBuilder.toGeoJsonFeature(PlanBuilder.build(images, req))
       .collect().map(_.getString(0))
     assert(feats.nonEmpty)
-    feats.take(20).foreach { f =>
-      assert(f.startsWith("""{"type":"Feature","geometry":{"type":"Point","""), f)
+    feats.foreach { f =>
+      assert(f.startsWith("""{"type":"Feature","geometry":{"type":""""), f)
       assert(f.contains(""""properties":{"""), f)
     }
+    // line/polygon features must serialize their true shapes, not the anchor
+    val types = Set("Point", "LineString", "Polygon")
+      .filter(t => feats.exists(_.contains(s""""type":"$t"""")))
+    assert(types == Set("Point", "LineString", "Polygon"), s"got $types")
   }
 }
