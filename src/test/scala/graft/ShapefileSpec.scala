@@ -100,6 +100,27 @@ class ShapefileSpec extends SparkSpec {
     assert(ptRecs.flatten.toSet == expectPts)
   }
 
+  test("sinks accept build() outputs (osm_type instead of kind) with real geometry") {
+    import graft.geo.MultiPolygon
+    import graft.model.{SnapshotRequest, TypeFilters}
+    val images = ImageFixture.generate(spark, 300, 2)
+    val req = SnapshotRequest(
+      geometry = MultiPolygon(Seq(graft.geo.Fixtures.requestPolygon)),
+      allGeometry = Some(TypeFilters(attributes = Some(Seq("name")))))
+    val built = graft.plan.PlanBuilder.build(images, req)
+    val dir = Files.createTempDirectory("shp_built").toString
+    val counts = Shapefile.write(built, dir)
+    assert(counts.values.sum == built.count())
+    val kmlN = Sinks.kml(built, s"$dir/out.kml")
+    assert(kmlN == built.count())
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().parse(new java.io.File(s"$dir/out.kml"))
+    // real geometry flows through the projection: all three KML shapes appear
+    assert(doc.getElementsByTagName("LineString").getLength > 0)
+    assert(doc.getElementsByTagName("Polygon").getLength > 0)
+    assert(doc.getElementsByTagName("Point").getLength > 0)
+  }
+
   test("kml document is well-formed XML with one Placemark per feature") {
     val dir = Files.createTempDirectory("kml").toString
     val n = Sinks.kml(feats, s"$dir/out.kml")
