@@ -289,14 +289,18 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
     "doc_rolling_fp" -> ((s, d) => TextOps.rollingFingerprint(docs(s, d))),
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(docs(s, d))),
-    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
+    // the capped (skew-hardened) variant IS the gated path: on the un-skewed
+    // fixture no bucket exceeds the cap, so output ≡ minhashLsh and the same
+    // oracle SQL certifies the code that must survive 10^12-row skew
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshCapped(docs(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardAdjacent(docs(s, d))),
     "ann_cosine" -> ((s, d) => Similarity.annBrute(
       s.read.parquet(s"$d/embeddings.parquet"))),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(
       s.read.parquet(s"$d/embeddings.parquet"))),
-    "embed_neardup_lsh" -> ((s, d) => Similarity.nearDupLsh(
+    // capped variant gated for the same reason as dedup_minhash_lsh above
+    "embed_neardup_lsh" -> ((s, d) => Similarity.nearDupLshCapped(
       s.read.parquet(s"$d/embeddings.parquet"), tau = 0.3)),
     "q1_agg" -> ((s, d) => q1Agg(s, d)),
     "q3_join" -> ((s, d) => q3Join(s, d)),

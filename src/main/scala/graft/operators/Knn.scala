@@ -135,7 +135,18 @@ object Knn {
     }
     qs.unpersist()
     require(!remaining, s"kNN did not converge in $maxRounds rounds")
-    retired.reduce(_.unionByName(_))
+    // materialize the (result-sized) union once while the round slices are
+    // still cached, then release every per-round cache — a long-lived session
+    // calling knn() repeatedly must not accumulate slice blocks. The returned
+    // frame is the ONLY cache that survives; its lifecycle is caller-owned
+    // (unpersist after consuming, as the specs do).
+    if (retired.size == 1) retired.head // already persisted + materialized
+    else {
+      val result = retired.reduce(_.unionByName(_)).persist()
+      result.count()
+      retired.foreach(_.unpersist())
+      result
+    }
   }
 
   /** Literal-query convenience wrapper (SparkEntry gate shape). */

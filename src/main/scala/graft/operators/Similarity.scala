@@ -188,8 +188,9 @@ object Similarity {
   // Lloyd k-means with everything pinned so the DuckDB oracle reproduces it
   // relationally:
   //  - training sample: vec_id % SampleMod == 0 (a fixed-rate deterministic
-  //    sample — at 10^12 rows SampleMod grows so the sample stays bounded;
-  //    quantizers are conventionally trained on samples);
+  //    sample; [[sampleModFor]] grows the modulus with n so the collected
+  //    sample stays bounded — quantizers are conventionally trained on
+  //    samples);
   //  - init: the K sample vectors with vec_id < K·SampleMod, centroid id
   //    c = vec_id / SampleMod;
   //  - Iters Lloyd rounds; assignment tiebreak = lowest centroid id; new
@@ -206,6 +207,30 @@ object Similarity {
   val SampleMod = 4
   val Iters = 2
   val DefaultNProbe = 2
+
+  /** Inverted-list count as a function of table size, k ≈ √(n/targetListSize)
+    * (the standard IVF sizing rule): with nprobe fixed, the probed fraction of
+    * the table is nprobe/k, which SHRINKS as n grows — the fixed DefaultK=8
+    * would pin it at 25 % forever. At n = 10^12 this gives ~15.6k lists of
+    * ~64M rows; each list is a shuffle partition group, never a driver
+    * structure, so large k costs only centroid-literal size (k × Dims
+    * doubles, capped at 64k lists ≈ 32 MB broadcast — still executor-sized).
+    * The gate keeps DefaultK pinned so the relational oracle stays fixed. */
+  def kListFor(n: Long, targetListSize: Long = 4096L): Int = {
+    val want = math.ceil(math.sqrt(
+      math.max(1L, n).toDouble / math.max(1L, targetListSize))).toLong
+    math.min(65536L, math.max(DefaultK.toLong, want)).toInt
+  }
+
+  /** Training-sample modulus as a function of table size: sampleMod ≈
+    * n/targetSample bounds each Lloyd round's scan+aggregate to ~targetSample
+    * rows no matter how big the table is (the sample itself never leaves the
+    * executors — only the K×Dims mean vectors are collected). The fixed
+    * SampleMod=4 would make every training iteration a quarter-table pass. */
+  def sampleModFor(n: Long, targetSample: Long = 1L << 18): Int = {
+    val want = math.max(1L, n) / math.max(1L, targetSample)
+    math.min(Int.MaxValue.toLong, math.max(SampleMod.toLong, want)).toInt
+  }
 
   /** Squared-distance argmin score, centroid as a SQL column expression
     * (oracle side): cc − 2·(e·c) — the e·e term is constant per row and
@@ -290,6 +315,19 @@ object Similarity {
     emb.select(col("vec_id"), col("embedding"), assignU(col("embedding")).as("bucket"))
   }
 
+  /** Per-query probe rows (qid, qe, qn, bucket): rank centroids per query,
+    * keep the `nprobe` nearest — the query side is tiny, so the explode is
+    * cheap and scales with queries, not with the table. */
+  def ivfProbes(emb: DataFrame, cents: Seq[(Int, Array[Double])],
+      nQueries: Int, nprobe: Int = DefaultNProbe): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        sqrt(dotCol(col("embedding"), col("embedding"))).as("qn"))
+    val probeU = udf(probeKernel(cents, nprobe))
+    q.select(col("qid"), col("qe"), col("qn"),
+      explode(probeU(col("qe"))).as("bucket"))
+  }
+
   /** IVF top-k with trained centroids: probe the `nprobe` nearest lists per
     * query, exact cosine rank within candidates. The probe list is exploded
     * to (qid, bucket) rows so the candidate join is an EQUI-join on bucket
@@ -297,18 +335,12 @@ object Similarity {
     * once and only probed-list rows reach the scorer.
     * Output (qid, rank, vec_id, cos). */
   def annIvf(emb: DataFrame, nQueries: Int = 4, k: Int = 5,
-      kList: Int = DefaultK, nprobe: Int = DefaultNProbe): DataFrame = {
-    val cents = trainCentroids(emb, kList)
+      kList: Int = DefaultK, nprobe: Int = DefaultNProbe,
+      sampleMod: Int = SampleMod): DataFrame = {
+    val cents = trainCentroids(emb, kList, sampleMod)
     val assigned = ivfAssign(emb, cents)
       .withColumn("n", sqrt(dotCol(col("embedding"), col("embedding"))))
-    // query probes: rank centroids per query, keep nprobe — the query side is
-    // tiny, so the (qid, c, score) explode is cheap and scales with queries
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        sqrt(dotCol(col("embedding"), col("embedding"))).as("qn"))
-    val probeU = udf(probeKernel(cents, nprobe))
-    val probes = q.select(col("qid"), col("qe"), col("qn"),
-      explode(probeU(col("qe"))).as("bucket"))
+    val probes = ivfProbes(emb, cents, nQueries, nprobe)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
@@ -317,6 +349,16 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Size-adaptive IVF: list count and training-sample rate derived from the
+    * actual table size ([[kListFor]]/[[sampleModFor]]) — one count() to size
+    * the index, as [[nearDupLshAuto]] does for planes. Probed fraction
+    * nprobe/kListFor(n) shrinks as n grows instead of staying 25 %. */
+  def annIvfAuto(emb: DataFrame, nQueries: Int = 4, k: Int = 5,
+      nprobe: Int = DefaultNProbe): DataFrame = {
+    val n = emb.count()
+    annIvf(emb, nQueries, k, kListFor(n), nprobe, sampleModFor(n))
   }
 
   /** Oracle twin: the same sample → init → Lloyd rounds → assignment →

@@ -137,10 +137,16 @@ object PlanBuilder {
     * P4 centroid (ST_Centroid(geom) AS geom when centroid=true,
     * builder.py:157, flag models.py:156-158; the csv path ALWAYS projects
     * centroid coordinates, ST_X(ST_Centroid(geom)), builder.py:152-155). */
+  /** The centroid UDF is projected ONCE into this intermediate column by
+    * [[build]] (a separate Project that CollapseProject keeps separate, since
+    * a non-cheap expression referenced twice is never inlined) — referencing
+    * the UDF expression itself for both lon and lat would evaluate it twice
+    * per row unless codegen subexpression elimination happens to save us. */
+  private val centroidTmp = "_graft_centroid"
+
   private def projection(
       attrs: Option[Seq[String]], csv: Boolean, centroid: Boolean): Seq[Column] = {
-    lazy val c = GeoCols.centroidUdf(col("kind"), col("lon"), col("lat"),
-      GeoCols.packedVerts(vxs, vys))
+    lazy val c = col(centroidTmp)
     lazy val (clon, clat) = (element_at(c, 1), element_at(c, 2))
     val geomCols =
       if (csv) Seq(clon.as("longitude"), clat.as("latitude"),
@@ -194,6 +200,9 @@ object PlanBuilder {
       var b = derived.filter(col("kind").isin(gs.map(kindName): _*))
       f.tags.foreach(t => b = b.filter(compileTags(t)))
       req.where.foreach(w => b = b.filter(compileWhere(WhereParser.parse(w))))
+      if (csv || req.centroid)
+        b = b.withColumn(centroidTmp, GeoCols.centroidUdf(col("kind"),
+          col("lon"), col("lat"), GeoCols.packedVerts(vxs, vys)))
       b.select(projection(f.attributes, csv, req.centroid): _*)
     }
     // schema may differ across branches when per-type attribute lists differ

@@ -102,6 +102,34 @@ class PlanQualitySpec extends SparkSpec {
       s"retired top-k slices must be executor-cached, not driver-collected:\n${plan.take(1500)}")
   }
 
+  test("centroid UDF is evaluated once per row, not once per coordinate") {
+    val images = ImageFixture.read(spark, tableDir)
+    val req = SnapshotRequest(
+      geometry = MultiPolygon(Seq(Fixtures.requestPolygon)),
+      geometryTypes = GeomType.all,
+      centroid = true)
+    val df = PlanBuilder.build(images, req)
+    val plan = df.queryExecution.executedPlan.toString
+    // the plan carries exactly two scala UDFs: the intersect refine kernel
+    // (Filter) and the centroid kernel (Project, once). Before the staged
+    // projection the centroid UDF appeared once per extracted coordinate.
+    val udfCount = "UDF\\(".r.findAllIn(plan).length
+    assert(udfCount <= 2, s"centroid UDF duplicated in the projection ($udfCount UDF calls):\n${plan.take(3000)}")
+  }
+
+  test("knn releases every per-round cache; only the caller-owned result persists") {
+    import graft.operators.Knn
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val result = Knn.knn(spark, graft.functions.GeoCols
+      .derivedPoints(spark, "/root/testdata/sf0.001"), Fixtures.knnQueries.take(3), k = 4)
+    assert(result.count() > 0)
+    result.unpersist(blocking = true)
+    val after = sc.getPersistentRDDs.size
+    assert(after == before,
+      s"knn leaked ${after - before} persisted RDDs (round slices must be unpersisted)")
+  }
+
   test("equi-join with a catalog-sized dim side broadcasts") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")

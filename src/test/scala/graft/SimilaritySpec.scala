@@ -96,6 +96,53 @@ class SimilaritySpec extends SparkSpec {
     ()
   }
 
+  test("kListFor/sampleModFor scale with n and stay bounded") {
+    // floor at the gate defaults, growth ≈ √(n/listSize), hard caps
+    assert(Similarity.kListFor(1000L) == Similarity.DefaultK)
+    assert(Similarity.kListFor(1L << 30) > Similarity.kListFor(1L << 24))
+    assert(Similarity.kListFor(1000000000000L) <= 65536)
+    assert(Similarity.sampleModFor(1000L) == Similarity.SampleMod)
+    // at 10^12 rows the per-iteration training scan stays ~2^18 rows
+    val mod12 = Similarity.sampleModFor(1000000000000L).toLong
+    assert(1000000000000L / mod12 <= (1L << 19))
+    // probed fraction nprobe/k is sublinear: grows n 64×, fraction shrinks
+    val f1 = Similarity.DefaultNProbe.toDouble / Similarity.kListFor(1L << 24)
+    val f2 = Similarity.DefaultNProbe.toDouble / Similarity.kListFor(1L << 30)
+    assert(f2 < f1, s"probed fraction must shrink with n: $f1 -> $f2")
+  }
+
+  test("auto-sized IVF probes a shrinking fraction of the table, recall held") {
+    // two fixture sizes; small targetListSize so kListFor actually grows in
+    // test range (same formula the 4096-default uses at 10^12)
+    def probedFraction(n: Int): Double = {
+      val emb = clusteredEmb(n, centers = 8).cache()
+      val k = Similarity.kListFor(n.toLong, targetListSize = 16L)
+      val cents = Similarity.trainCentroids(emb, k)
+      val assigned = Similarity.ivfAssign(emb, cents)
+      val probes = Similarity.ivfProbes(emb, cents, nQueries = 4)
+        .select("qid", "bucket")
+      val candidates = assigned.join(probes, Seq("bucket")).count()
+      val frac = candidates.toDouble / (n.toLong * 4)
+      emb.unpersist()
+      frac
+    }
+    val fSmall = probedFraction(400)
+    val fBig = probedFraction(4000)
+    assert(fBig < fSmall,
+      s"auto-sized IVF must touch a smaller fraction as n grows: $fSmall -> $fBig")
+    // recall stays ≥0.9 with the grown list count
+    val emb = clusteredEmb(4000, centers = 8).cache()
+    val k = Similarity.kListFor(4000L, targetListSize = 16L)
+    val brute = Similarity.annBrute(emb, nQueries = 4, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf(emb, nQueries = 4, k = 5, kList = k)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall = $recall at kList=$k")
+    emb.unpersist()
+    ()
+  }
+
   test("k-means training is deterministic and drops empty clusters consistently") {
     val emb = clusteredEmb(200)
     val c1 = Similarity.trainCentroids(emb)
