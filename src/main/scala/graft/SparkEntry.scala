@@ -208,6 +208,21 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** F5 tag existence (`tags ? 'k'`, builder.py:179), through compileTags'
+    * empty-values (existence) branch on a real map column: the `flag` key is
+    * present on every third feature only, so the predicate selects a strict
+    * subset. DuckDB has no map column here — the fixture's key-presence rule
+    * IS the oracle expression (featuresSql convention). */
+  private def tagExists(s: SparkSession, dir: String): DataFrame = {
+    val feats = GeoCols.derivedFeatures(s, dir)
+      .withColumn("tags",
+        when(col("image_id") % 3 === 0,
+          map_concat(col("tags"), map(lit("flag"), lit("1"))))
+          .otherwise(col("tags")))
+    feats.filter(PlanBuilder.compileTags(TagFilter.JoinOr(Map("flag" -> Seq.empty))))
+      .select(col("image_id"), col("tags")("parity").as("parity"))
+  }
+
   /** P2 dynamic attribute projection over a jsonb-style column: events.props
     * ->> 'k' (the reference's tags ->> 'key' AS key, builder.py:148). */
   private def attrJson(s: SparkSession, dir: String): DataFrame =
@@ -280,6 +295,7 @@ object SparkEntry {
     "upsert_merge" -> ((s, d) => upsertMerge(s, d)),
     "tag_or" -> ((s, d) => tagOr(s, d)),
     "tag_and" -> ((s, d) => tagAnd(s, d)),
+    "tag_exists" -> ((s, d) => tagExists(s, d)),
     "attr_json" -> ((s, d) => attrJson(s, d)),
     "time_window" -> ((s, d) => timeWindow(s, d)),
     "token_count" -> ((s, d) => TextOps.tokenCount(docs(s, d))),
@@ -366,6 +382,10 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
          |WHERE list_contains(${TextOps.tokensSql}, 'spark')
          |  AND list_contains(${TextOps.tokensSql}, 'join')""".stripMargin,
+    "tag_exists" ->
+      s"""WITH pts AS ($P)
+         |SELECT pid AS image_id, (pid % 7)::VARCHAR AS parity
+         |FROM pts WHERE pid % 3 = 0""".stripMargin,
     "attr_json" ->
       "SELECT event_id, props->>'k' AS k_attr FROM events",
     "time_window" ->
