@@ -99,8 +99,9 @@ object CustomExport {
           if (formats.contains("parquet"))
             spark.read.parquet(s"$outDir/${c.name}/parquet").count()
           else if (formats.contains("geojson"))
+            // coalesce: SUM over zero manifest rows is NULL (empty category)
             graft.lineage.Lineage.finish(spark, s"$outDir/${c.name}/geojson")
-              .agg(org.apache.spark.sql.functions.sum("rowCount"))
+              .agg(coalesce(sum("rowCount"), lit(0L)))
               .collect().head.getLong(0)
           else df.count()
         c.name -> n

@@ -180,8 +180,12 @@ object Shapefile {
       (0 to 3).flatMap(i => Seq(s"x$i", s"y$i"))
     val attrCols = df.columns.filterNot(geomCols).toSeq
     val idx = df.columns.zipWithIndex.toMap
+    // centroid/csv-shaped extracts drop the vertex columns — fall back to
+    // point geometry (as the KML sink does) instead of an opaque lookup error
+    val haveVerts = df.columns.contains("x0")
     def d(r: Row, c: String): Double = r.getDouble(idx(c))
-    def geometry(kind: String, r: Row): Seq[(Double, Double)] = kind match {
+    def geometry(kind0: String, r: Row): Seq[(Double, Double)] = (
+      if (haveVerts) kind0 else "point") match {
       case "point" => Seq((d(r, "lon"), d(r, "lat")))
       case "line" => (0 to 2).map(i => (d(r, s"x$i"), d(r, s"y$i")))
       case _ =>
@@ -200,7 +204,8 @@ object Shapefile {
             attrCols.map(c => Option(r.get(idx(c))).map(_.toString).orNull))
         }
       }
-      kind -> writeTriple(s"$dir/$kind", kind, attrCols, rows)
+      kind -> writeTriple(s"$dir/$kind", if (haveVerts) kind else "point",
+        attrCols, rows)
     }.toMap
   }
 }

@@ -1,0 +1,232 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sinks.{FlatGeobuf, PgDump}
+import graft.sources.{ImageFixture, ImageTable}
+
+/** Round-trip validation of the FlatGeobuf and PGDump sinks against
+  * independent minimal parsers: a generic flatbuffer vtable walker (no
+  * generated bindings — reads the written bytes purely from the published
+  * wire format) and a COPY-text + EWKB decoder. */
+class FormatSinksSpec extends SparkSpec {
+
+  private lazy val feats = {
+    val images = ImageFixture.generate(spark, 300, 2)
+    ImageTable.derive(images)
+      .select(Seq("image_id", "kind", "lon", "lat").map(col) ++
+        (0 to 3).flatMap(i => Seq(col(s"x$i"), col(s"y$i"))): _*)
+  }
+
+  // ---- generic flatbuffer reader ------------------------------------------
+
+  private final class Fb(val bb: ByteBuffer, val pos: Int) {
+    private val vt = pos - bb.getInt(pos)
+    private val vtSize = bb.getShort(vt) & 0xffff
+    def off(slot: Int): Int = {
+      val o = 4 + 2 * slot
+      if (o >= vtSize) 0
+      else { val rel = bb.getShort(vt + o) & 0xffff; if (rel == 0) 0 else pos + rel }
+    }
+    def u8(slot: Int, d: Int): Int = { val o = off(slot); if (o == 0) d else bb.get(o) & 0xff }
+    def u16(slot: Int, d: Int): Int = { val o = off(slot); if (o == 0) d else bb.getShort(o) & 0xffff }
+    def i32(slot: Int, d: Int): Int = { val o = off(slot); if (o == 0) d else bb.getInt(o) }
+    def i64(slot: Int, d: Long): Long = { val o = off(slot); if (o == 0) d else bb.getLong(o) }
+    private def indirect(slot: Int): Int = {
+      val o = off(slot); if (o == 0) -1 else o + bb.getInt(o)
+    }
+    def str(slot: Int): Option[String] = indirect(slot) match {
+      case -1 => None
+      case p =>
+        val len = bb.getInt(p)
+        val a = new Array[Byte](len)
+        val dup = bb.duplicate(); dup.position(p + 4); dup.get(a)
+        Some(new String(a, StandardCharsets.UTF_8))
+    }
+    /** (elemBasePos, length) of a vector field. */
+    def vec(slot: Int): Option[(Int, Int)] = indirect(slot) match {
+      case -1 => None
+      case p => Some((p + 4, bb.getInt(p)))
+    }
+    def table(slot: Int): Option[Fb] = indirect(slot) match {
+      case -1 => None
+      case p => new Some(new Fb(bb, p))
+    }
+  }
+
+  /** Read one size-prefixed flatbuffer root table at `base`; returns (table,
+    * nextBase). */
+  private def sizePrefixed(bb: ByteBuffer, base: Int): (Fb, Int) = {
+    val size = bb.getInt(base)
+    val bufStart = base + 4
+    (new Fb(bb, bufStart + bb.getInt(bufStart)), bufStart + size)
+  }
+
+  private def parseProps(bb: ByteBuffer, base: Int, len: Int,
+      colTypes: Seq[Int]): Map[Int, Any] = {
+    val out = scala.collection.mutable.Map.empty[Int, Any]
+    var p = base
+    while (p < base + len) {
+      val ci = bb.getShort(p) & 0xffff; p += 2
+      colTypes(ci) match {
+        case FlatGeobuf.CtLong => out(ci) = bb.getLong(p); p += 8
+        case FlatGeobuf.CtInt => out(ci) = bb.getInt(p); p += 4
+        case FlatGeobuf.CtDouble => out(ci) = bb.getDouble(p); p += 8
+        case FlatGeobuf.CtBool => out(ci) = bb.get(p) != 0; p += 1
+        case _ =>
+          val slen = bb.getInt(p); p += 4
+          val a = new Array[Byte](slen)
+          val dup = bb.duplicate(); dup.position(p); dup.get(a); p += slen
+          out(ci) = new String(a, StandardCharsets.UTF_8)
+      }
+    }
+    out.toMap
+  }
+
+  test("flatgeobuf round-trips: magic, header, geometry, properties") {
+    val path = Files.createTempDirectory("fgb").resolve("export.fgb").toString
+    val n = FlatGeobuf.write(feats, path)
+    val rows = feats.collect()
+    assert(n == rows.length)
+
+    val bb = ByteBuffer.wrap(Files.readAllBytes(Paths.get(path)))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    // magic
+    val magic = new Array[Byte](8); bb.duplicate().get(magic)
+    assert(magic.sameElements(FlatGeobuf.Magic), "fgb magic bytes")
+    // header: name(0) envelope(1) geometry_type(2) columns(7)
+    // features_count(8) index_node_size(9) crs(10)
+    val (hdr, featStart) = sizePrefixed(bb, 8)
+    assert(hdr.str(0).contains("export"))
+    assert(hdr.u8(2, 0) == FlatGeobuf.GtUnknown, "mixed layer → Unknown (default 0 → field absent)")
+    assert(hdr.i64(8, -1L) == rows.length.toLong)
+    assert(hdr.u16(9, 16) == 0, "no spatial index declared")
+    val crs = hdr.table(10).get
+    assert(crs.str(0).contains("EPSG") && crs.i32(1, 0) == 4326)
+    val (colsBase, colsLen) = hdr.vec(7).get
+    val colTables = (0 until colsLen).map { i =>
+      val p = colsBase + 4 * i
+      new Fb(bb, p + bb.getInt(p))
+    }
+    val colNames = colTables.map(_.str(0).get)
+    val colTypes = colTables.map(_.u8(1, 0))
+    assert(colNames == Seq("image_id"))
+
+    // features: multiset keyed by image_id property
+    val expect = rows.map(r => r.getString(0) -> r).toMap
+    var base = featStart
+    var seen = 0
+    while (base < bb.capacity()) {
+      val (f, next) = sizePrefixed(bb, base)
+      val geom = f.table(0).get
+      val gtype = geom.u8(6, 0)
+      val (xyBase, xyLen) = geom.vec(1).get
+      val xy = (0 until xyLen).map(i => bb.getDouble(xyBase + 8 * i))
+      val (pBase, pLen) = f.vec(1).get
+      val props = parseProps(bb, pBase, pLen, colTypes)
+      val id = props(0).asInstanceOf[String]
+      val r = expect(id)
+      val kind = r.getString(1)
+      val wantType = kind match {
+        case "point" => FlatGeobuf.GtPoint
+        case "line" => FlatGeobuf.GtLineString
+        case _ => FlatGeobuf.GtPolygon
+      }
+      assert(gtype == wantType, s"feature $id geometry type")
+      kind match {
+        case "point" =>
+          assert(xy == Seq(r.getDouble(2), r.getDouble(3)))
+        case "line" =>
+          assert(xyLen == 6)
+          assert(xy(0) == r.getDouble(4) && xy(1) == r.getDouble(5))
+        case _ =>
+          assert(xyLen == 10, "closed quad ring")
+          assert(xy.take(2) == xy.takeRight(2).toIndexedSeq, "ring closed")
+      }
+      seen += 1
+      base = next
+    }
+    assert(seen == rows.length)
+  }
+
+  // ---- PGDump parser -------------------------------------------------------
+
+  private def decodeEwkb(hexStr: String): (Int, Seq[(Double, Double)]) = {
+    val bytes = hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    assert(b.get() == 1, "little-endian marker")
+    val typeWord = b.getInt()
+    assert((typeWord & 0x20000000) != 0, "SRID flag set")
+    val gtype = typeWord & 0xff
+    assert(b.getInt() == 4326, "SRID 4326")
+    val pts = gtype match {
+      case 1 => Seq((b.getDouble(), b.getDouble()))
+      case 2 => (0 until b.getInt()).map(_ => (b.getDouble(), b.getDouble()))
+      case 3 =>
+        assert(b.getInt() == 1, "single ring")
+        (0 until b.getInt()).map(_ => (b.getDouble(), b.getDouble()))
+    }
+    (gtype, pts)
+  }
+
+  private def unescCopy(s: String): String =
+    s.replace("\\t", "\t").replace("\\n", "\n").replace("\\r", "\r")
+      .replace("\\\\", "\\")
+
+  test("pgdump script round-trips: CREATE TABLE, COPY framing, EWKB geometry") {
+    val path = Files.createTempDirectory("pgd").resolve("export.sql").toString
+    val n = PgDump.write(feats, path)
+    val rows = feats.collect()
+    assert(n == rows.length)
+    val lines = Files.readAllLines(Paths.get(path))
+    assert(lines.get(0).startsWith("SET standard_conforming_strings"))
+    val create = lines.get(1)
+    assert(create.startsWith("""CREATE TABLE "export""""))
+    assert(create.contains(""""image_id" text"""))
+    assert(create.contains(""""geom" geometry(Geometry,4326)"""))
+    assert(lines.get(2) ==
+      """COPY "export" ("image_id", "geom") FROM stdin;""")
+    assert(lines.get(lines.size - 1) == "\\.")
+    val dataLines = lines.subList(3, lines.size - 1)
+    assert(dataLines.size == rows.length)
+    val expect = rows.map(r => r.getString(0) -> r).toMap
+    dataLines.forEach { l =>
+      val fields = l.split("\t", -1)
+      assert(fields.length == 2)
+      val id = fields(0)
+      val r = expect(id)
+      val (gtype, pts) = decodeEwkb(fields(1))
+      r.getString(1) match {
+        case "point" =>
+          assert(gtype == 1 && pts == Seq((r.getDouble(2), r.getDouble(3))))
+        case "line" =>
+          assert(gtype == 2 && pts.length == 3)
+          assert(pts.head == ((r.getDouble(4), r.getDouble(5))))
+        case _ =>
+          assert(gtype == 3 && pts.length == 5 && pts.head == pts.last)
+      }
+    }
+  }
+
+  test("pgdump escapes COPY control characters and nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "plain", 1.0, 2.0),
+      (2L, "tab\there", 3.0, 4.0),
+      (3L, "nl\nline\\end", 5.0, 6.0),
+      (4L, null.asInstanceOf[String], 7.0, 8.0))
+      .toDF("image_id", "note", "lon", "lat")
+    val path = Files.createTempDirectory("pgd2").resolve("esc.sql").toString
+    PgDump.write(df, path)
+    val lines = Files.readAllLines(Paths.get(path))
+    val data = lines.subList(3, lines.size - 1)
+    assert(data.size == 4, "escaped newline must stay on one COPY line")
+    val notes = (0 until 4).map(i => data.get(i).split("\t", -1)(1))
+    assert(notes(0) == "plain")
+    assert(unescCopy(notes(1)) == "tab\there")
+    assert(unescCopy(notes(2)) == "nl\nline\\end")
+    assert(notes(3) == "\\N")
+  }
+}
