@@ -62,8 +62,44 @@ object CustomExport {
       geomCols: _*)
   }
 
-  /** Stage once, then run all categories concurrently on FAIR pools, writing
-    * each to `outDir/<category>/<format>`. Returns per-category row counts.
+  /** The full format matrix (the reference's ogr2ogr/DuckDB format table,
+    * app.py:549-616): writes `df` as `fmt` under `dir`. Returns the row count
+    * when the sink itself reports one (the driver-streamed single-file
+    * formats do); distributed writers return None and the caller reuses
+    * already-written metadata instead of re-counting. */
+  def writeFormat(df: DataFrame, fmt: String, dir: String,
+      table: String, pmTilesZooms: (Int, Int) = (2, 6)): Option[Long] = fmt match {
+    case "geojson" =>
+      graft.sinks.Sinks.featureCollection(df, s"$dir/geojson"); None
+    case "parquet" =>
+      graft.sinks.Sinks.parquetZstd(df, s"$dir/parquet"); None
+    case "csv" =>
+      graft.sinks.Sinks.csv(df, s"$dir/csv"); None
+    case "json" =>
+      graft.sinks.Sinks.json(df, s"$dir/json"); None
+    case "shp" =>
+      Some(graft.sinks.Shapefile.write(df, s"$dir/shp").values.map(_.toLong).sum)
+    case "kml" =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      Some(graft.sinks.Sinks.kml(df, s"$dir/export.kml"))
+    case "fgb" =>
+      Some(graft.sinks.FlatGeobuf.write(df, s"$dir/export.fgb", table))
+    case "sql" =>
+      Some(graft.sinks.PgDump.write(df, s"$dir/export.sql", table))
+    case "pmtiles" =>
+      val tiled = graft.operators.SpatialJoin.tileAssign(
+        df.select(col("lon"), col("lat"),
+          PlanBuilder.geoJsonFeatureCol(df).as("feature")),
+        pmTilesZooms._1, pmTilesZooms._2)
+      val (tiles, _) = graft.sinks.PmTiles.write(tiled, s"$dir/export.pmtiles")
+      Some(tiles)
+    case f => throw new IllegalArgumentException(s"unknown format $f")
+  }
+
+  /** Stage once, then run all categories concurrently on FAIR pools — and,
+    * inside each category, all formats concurrently (the reference's
+    * per-category format thread pool, app.py:1463-1491) — writing each to
+    * `outDir/<category>/<format>`. Returns per-category row counts.
     * The session should be built with spark.scheduler.mode=FAIR for true
     * fair sharing; without it the pools degrade to FIFO but the concurrent
     * submission (and the staging reuse) is unchanged. */
@@ -77,33 +113,38 @@ object CustomExport {
       formats: Seq[String] = Seq("geojson", "parquet"),
       parallelism: Int = 4): Map[String, Long] = {
     require(categories.nonEmpty, "no categories")
+    require(formats.nonEmpty, "no formats")
     val staged = stage(spark, images, geometry, stagingDir)
-    val pool = Executors.newFixedThreadPool(math.min(parallelism, categories.size))
+    val pool = Executors.newFixedThreadPool(
+      math.min(parallelism, categories.size * formats.size))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val futs = categories.map { c =>
-      Future {
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"export-${c.name}")
-        val df = extractCategory(staged, c)
-        formats.foreach {
-          case "geojson" =>
-            graft.sinks.Sinks.featureCollection(df, s"$outDir/${c.name}/geojson")
-          case "parquet" =>
-            graft.sinks.Sinks.parquetZstd(df, s"$outDir/${c.name}/parquet")
-          case "csv" =>
-            graft.sinks.Sinks.csv(df, s"$outDir/${c.name}/csv")
-          case f => throw new IllegalArgumentException(s"unknown format $f")
+      val df = extractCategory(staged, c)
+      val catDir = s"$outDir/${c.name}"
+      // pmtiles tile counts ≠ extract row counts — never use them as `n`
+      val fmtFuts = formats.map { f =>
+        Future {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"export-${c.name}")
+          f -> writeFormat(df, f, catDir, c.name)
         }
-        // row count from what was already written (parquet footer counts /
-        // lineage manifests), never a redundant extract pass
-        val n =
+      }
+      Future.sequence(fmtFuts).map { results =>
+        val reported = results.collectFirst {
+          case (f, Some(n)) if f != "pmtiles" && f != "shp" => n
+        }
+        // row count preference: a sink-reported exact count, else parquet
+        // footer counts / lineage manifests, else one count job — never a
+        // redundant pass when a format already knows
+        val n = reported.getOrElse {
           if (formats.contains("parquet"))
-            spark.read.parquet(s"$outDir/${c.name}/parquet").count()
+            spark.read.parquet(s"$catDir/parquet").count()
           else if (formats.contains("geojson"))
             // coalesce: SUM over zero manifest rows is NULL (empty category)
-            graft.lineage.Lineage.finish(spark, s"$outDir/${c.name}/geojson")
+            graft.lineage.Lineage.finish(spark, s"$catDir/geojson")
               .agg(coalesce(sum("rowCount"), lit(0L)))
               .collect().head.getLong(0)
           else df.count()
+        }
         c.name -> n
       }
     }

@@ -215,7 +215,12 @@ object PlanBuilder {
     * builder.py:85-95) — pure column JSON assembly. Rows carrying the vertex
     * columns serialize their real LineString/Polygon geometry; point-only
     * projections fall back to Point. */
-  def toGeoJsonFeature(df: DataFrame): DataFrame = {
+  def toGeoJsonFeature(df: DataFrame): DataFrame =
+    df.select(geoJsonFeatureCol(df).as("feature"))
+
+  /** The feature-serialization Column itself — composable into wider plans
+    * (e.g. the PMTiles path tile-assigns rows that carry this column). */
+  def geoJsonFeatureCol(df: DataFrame): Column = {
     val have = df.columns.toSet
     val geomColumns = Set("lon", "lat", "kind", "cell") ++
       (0 to 3).flatMap(i => Seq(s"x$i", s"y$i"))
@@ -231,8 +236,8 @@ object PlanBuilder {
       case _ => concat(lit("""{"type":"Point","coordinates":["""),
         col("lon").cast("string"), lit(","), col("lat").cast("string"), lit("]}"))
     }
-    df.select(concat(
+    concat(
       lit("""{"type":"Feature","geometry":"""), geomJson,
-      lit(""","properties":"""), props, lit("}")).as("feature"))
+      lit(""","properties":"""), props, lit("}"))
   }
 }

@@ -61,6 +61,33 @@ class CustomExportSpec extends SparkSpec {
     }
   }
 
+  test("one category fans out to 7 formats concurrently off the staged table") {
+    val staging = Files.createTempDirectory("ce_staging3").toString
+    val outDir = Files.createTempDirectory("ce_out3").toString
+    val images = ImageFixture.read(spark, baseDir)
+    val fmts = Seq("geojson", "parquet", "shp", "kml", "fgb", "sql", "pmtiles")
+    val counts = CustomExport.processCategories(spark, images, Some(geom),
+      Seq(cats.head), staging, outDir, formats = fmts)
+    val n = counts("buildings")
+    assert(n > 0)
+    val base = java.nio.file.Paths.get(s"$outDir/buildings")
+    assert(spark.read.parquet(s"$base/parquet").count() == n)
+    assert(Files.exists(base.resolve("geojson/export.geojson")))
+    assert(Files.exists(base.resolve("shp/polygon.shp")))
+    assert(Files.exists(base.resolve("export.kml")))
+    assert(Files.exists(base.resolve("export.sql")))
+    assert(Files.exists(base.resolve("export.pmtiles")))
+    // fgb: magic + declared features_count == n (wire-format check)
+    val fgb = java.nio.ByteBuffer.wrap(
+        Files.readAllBytes(base.resolve("export.fgb")))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert((0 until 8).forall(i => fgb.get(i) == graft.sinks.FlatGeobuf.Magic(i)))
+    // sql: COPY stream carries exactly n data lines
+    val sqlLines = Files.readAllLines(base.resolve("export.sql"))
+    assert(sqlLines.size.toLong == 3 + n + 1)
+    assert(sqlLines.get(sqlLines.size - 1) == "\\.")
+  }
+
   test("featureCollection assembles ONE valid parseable GeoJSON file") {
     val outDir = Files.createTempDirectory("ce_fc").toString
     val req = SnapshotRequest(geometry = geom,
