@@ -86,6 +86,8 @@ object CustomExport {
       Some(graft.sinks.FlatGeobuf.write(df, s"$dir/export.fgb", table))
     case "sql" =>
       Some(graft.sinks.PgDump.write(df, s"$dir/export.sql", table))
+    case "gpkg" =>
+      Some(graft.sinks.Gpkg.write(df, s"$dir/export.gpkg", table))
     case "pmtiles" =>
       val tiled = graft.operators.SpatialJoin.tileAssign(
         df.select(col("lon"), col("lat"),
@@ -93,6 +95,12 @@ object CustomExport {
         pmTilesZooms._1, pmTilesZooms._2)
       val (tiles, _) = graft.sinks.PmTiles.write(tiled, s"$dir/export.pmtiles")
       Some(tiles)
+    case "mbtiles" =>
+      val tiled = graft.operators.SpatialJoin.tileAssign(
+        df.select(col("lon"), col("lat"),
+          PlanBuilder.geoJsonFeatureCol(df).as("feature")),
+        pmTilesZooms._1, pmTilesZooms._2)
+      Some(graft.sinks.MbTiles.write(tiled, s"$dir/export.mbtiles", table))
     case f => throw new IllegalArgumentException(s"unknown format $f")
   }
 
@@ -130,7 +138,7 @@ object CustomExport {
       }
       Future.sequence(fmtFuts).map { results =>
         val reported = results.collectFirst {
-          case (f, Some(n)) if f != "pmtiles" && f != "shp" => n
+          case (f, Some(n)) if !Set("pmtiles", "mbtiles", "shp")(f) => n
         }
         // row count preference: a sink-reported exact count, else parquet
         // footer counts / lineage manifests, else one count job — never a

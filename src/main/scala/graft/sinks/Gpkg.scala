@@ -1,0 +1,141 @@
+package graft.sinks
+
+import java.nio.ByteBuffer
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** From-scratch GeoPackage (.gpkg) sink — the reference's GPKG export path
+  * (src/app.py:586-588, option table :482; e2e tests/test_API.py
+  * test_snapshot_feature_gpkg). A GeoPackage is a SQLite database (written by
+  * [[Sqlite]]) with the GPKG application id and the minimal metadata tables
+  * the OGC GeoPackage spec requires for a features container:
+  *
+  *   gpkg_spatial_ref_sys   (EPSG:4326 + the two mandated placeholder SRS)
+  *   gpkg_contents          (one `features` row with the layer envelope)
+  *   gpkg_geometry_columns  (layer → geom column, GEOMETRY type, srid 4326)
+  *   <layer>                (fid INTEGER PRIMARY KEY, attrs…, geom)
+  *
+  * Geometry is the GeoPackageBinary blob: "GP" magic, version 0, flags with
+  * envelope indicator 1, little-endian srs_id, [minx maxx miny maxy]
+  * envelope, then standard little-endian WKB — Point / LineString / Polygon
+  * from the engine's feature model.
+  */
+object Gpkg {
+
+  /** GeoPackageBinary header + WKB. */
+  def gpb(gtype: Int, pts: Seq[(Double, Double)]): Array[Byte] = {
+    val wkbLen = gtype match {
+      case 1 => 5 + 16
+      case 2 => 5 + 4 + pts.length * 16
+      case _ => 5 + 4 + 4 + pts.length * 16
+    }
+    val b = ByteBuffer.allocate(8 + 32 + wkbLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('G'.toByte).put('P'.toByte)
+    b.put(0.toByte) // version
+    b.put(0x03.toByte) // flags: little-endian (bit0) + envelope indicator 1
+    b.putInt(4326)
+    val xs = pts.map(_._1); val ys = pts.map(_._2)
+    b.putDouble(xs.min).putDouble(xs.max).putDouble(ys.min).putDouble(ys.max)
+    b.put(1.toByte) // WKB little-endian
+    b.putInt(gtype)
+    gtype match {
+      case 1 => b.putDouble(pts.head._1).putDouble(pts.head._2)
+      case 2 =>
+        b.putInt(pts.length)
+        pts.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+      case _ =>
+        b.putInt(1).putInt(pts.length)
+        pts.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+    }
+    b.array()
+  }
+
+  private def sqlType(dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType | ByteType | BooleanType => "INTEGER"
+    case DoubleType | FloatType => "REAL"
+    case _ => "TEXT"
+  }
+
+  /** Write the extract as a single-layer GeoPackage; returns the row count. */
+  def write(df0: DataFrame, path: String, layer: String = "export"): Long = {
+    val df = if (df0.columns.contains("kind")) df0
+      else if (df0.columns.contains("osm_type"))
+        df0.withColumn("kind", df0.col("osm_type"))
+      else df0
+    val idx = df.columns.zipWithIndex.toMap
+    val geomCols = Set("kind", "lon", "lat", "cell") ++
+      (0 to 3).flatMap(i => Seq(s"x$i", s"y$i"))
+    val haveVerts = idx.contains("x0") && idx.contains("kind")
+    val attrFields = df.schema.fields.filterNot(f => geomCols(f.name)).toSeq
+    def d(r: Row, c: String): Double = r.getDouble(idx(c))
+
+    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
+    val db = new Sqlite(path)
+    var n = 0L
+    var minX = Double.MaxValue; var minY = Double.MaxValue
+    var maxX = Double.MinValue; var maxY = Double.MinValue
+
+    val attrDefs = attrFields.map(f =>
+      s""""${f.name}" ${sqlType(f.dataType)}""").mkString(", ")
+    val createLayer =
+      s"""CREATE TABLE "$layer" (fid INTEGER PRIMARY KEY AUTOINCREMENT""" +
+        (if (attrDefs.nonEmpty) s", $attrDefs" else "") + """, "geom" GEOMETRY)"""
+
+    val it = df.toLocalIterator()
+    val rows = new Iterator[(Long, Seq[Any])] {
+      def hasNext: Boolean = it.hasNext
+      def next(): (Long, Seq[Any]) = {
+        val r = it.next()
+        n += 1
+        val kind = if (haveVerts) r.getString(idx("kind")) else "point"
+        val (gtype, pts) = kind match {
+          case "line" => (2, (0 to 2).map(i => (d(r, s"x$i"), d(r, s"y$i"))))
+          case "polygon" =>
+            val q = (0 to 3).map(i => (d(r, s"x$i"), d(r, s"y$i")))
+            (3, q :+ q.head)
+          case _ => (1, Seq((d(r, "lon"), d(r, "lat"))))
+        }
+        pts.foreach { case (x, y) =>
+          if (x < minX) minX = x; if (x > maxX) maxX = x
+          if (y < minY) minY = y; if (y > maxY) maxY = y
+        }
+        val attrs = attrFields.map { f =>
+          Option(r.get(idx(f.name))).map {
+            case v @ (_: Long | _: Int | _: Double | _: Boolean) => v
+            case v => v.toString
+          }.orNull
+        }
+        // fid rowid, attr values, geometry blob
+        (n, attrs :+ gpb(gtype, pts))
+      }
+    }
+    db.writeTable(layer, createLayer, rows)
+
+    db.writeTable("gpkg_spatial_ref_sys",
+      """CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, description TEXT)""",
+      Iterator(
+        (1L, Seq[Any]("Undefined cartesian SRS", -1L, "NONE", -1L, "undefined", null)),
+        (2L, Seq[Any]("Undefined geographic SRS", 0L, "NONE", 0L, "undefined", null)),
+        (3L, Seq[Any]("WGS 84 geodetic", 4326L, "EPSG", 4326L,
+          "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]],PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]",
+          null))))
+
+    val (emn, emx, emy, emY) =
+      if (n == 0) (null, null, null, null)
+      else (minX: java.lang.Double, maxX: java.lang.Double,
+        minY: java.lang.Double, maxY: java.lang.Double)
+    db.writeTable("gpkg_contents",
+      """CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL, identifier TEXT UNIQUE, description TEXT DEFAULT '', last_change DATETIME NOT NULL DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')), min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)""",
+      Iterator((1L, Seq[Any](layer, "features", layer, "",
+        "2026-01-01T00:00:00.000Z", emn, emy, emx, emY, 4326L))))
+
+    db.writeTable("gpkg_geometry_columns",
+      """CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL, CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))""",
+      Iterator((1L, Seq[Any](layer, "geom", "GEOMETRY", 4326L, 0L, 0L))))
+
+    db.finish(applicationId = 0x47504B47) // "GPKG"
+    n
+  }
+}

@@ -1,0 +1,75 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** From-scratch MBTiles sink — the reference's ENABLE_TILES export branch
+  * (src/app.py:592-603). An MBTiles archive is a SQLite database (written by
+  * [[Sqlite]]) with the spec's two tables:
+  *
+  *   metadata (name TEXT, value TEXT)
+  *   tiles    (zoom_level, tile_column, tile_row, tile_data)
+  *
+  * Rows arrive from the same distributed tile pipeline as the PMTiles sink —
+  * tileAssign explode + per-tile feature aggregation is the only shuffle —
+  * and stream to the container in (z, x, y) order. Tile payloads are gzipped
+  * GeoJSON FeatureCollections (PMTiles sink parity); tile_row uses the TMS
+  * flip the MBTiles spec requires. */
+object MbTiles {
+
+  private def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  /** Write a tiled extract (z, tx, ty, feature:string rows); returns the
+    * tile count. */
+  def write(tiled: DataFrame, path: String, name: String = "export"): Long = {
+    val perTile = tiled
+      .groupBy(col("z"), col("tx"), col("ty"))
+      .agg(concat_ws(",", sort_array(collect_list(col("feature")))).as("fc"))
+      .orderBy(col("z"), col("tx"), col("ty"))
+    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
+    val db = new Sqlite(path)
+    var minZ = Int.MaxValue; var maxZ = 0
+    var n = 0L
+    val it = perTile.toLocalIterator()
+    val rows = new Iterator[(Long, Seq[Any])] {
+      def hasNext: Boolean = it.hasNext
+      def next(): (Long, Seq[Any]) = {
+        val r = it.next()
+        val z = r.getInt(0); val tx = r.getLong(1); val ty = r.getLong(2)
+        if (z < minZ) minZ = z
+        if (z > maxZ) maxZ = z
+        n += 1
+        val payload = gzip(
+          ("""{"type":"FeatureCollection","features":[""" + r.getString(3) + "]}")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // TMS row flip (MBTiles spec: row 0 is the southern edge)
+        val tmsRow = (1L << z) - 1L - ty
+        (n, Seq[Any](z.toLong, tx, tmsRow, payload))
+      }
+    }
+    db.writeTable("tiles",
+      "CREATE TABLE tiles (zoom_level INTEGER, tile_column INTEGER, tile_row INTEGER, tile_data BLOB)",
+      rows)
+    val meta = Seq(
+      "name" -> name,
+      "format" -> "json",
+      "minzoom" -> (if (n == 0) "0" else minZ.toString),
+      "maxzoom" -> (if (n == 0) "0" else maxZ.toString),
+      "bounds" -> "-180.0,-85.0,180.0,85.0",
+      "type" -> "overlay",
+      "version" -> "1")
+    db.writeTable("metadata",
+      "CREATE TABLE metadata (name TEXT, value TEXT)",
+      meta.zipWithIndex.iterator.map { case ((k, v), i) =>
+        ((i + 1).toLong, Seq[Any](k, v))
+      })
+    db.finish()
+    n
+  }
+}

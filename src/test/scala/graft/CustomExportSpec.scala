@@ -61,11 +61,12 @@ class CustomExportSpec extends SparkSpec {
     }
   }
 
-  test("one category fans out to 7 formats concurrently off the staged table") {
+  test("one category fans out to 9 formats concurrently off the staged table") {
     val staging = Files.createTempDirectory("ce_staging3").toString
     val outDir = Files.createTempDirectory("ce_out3").toString
     val images = ImageFixture.read(spark, baseDir)
-    val fmts = Seq("geojson", "parquet", "shp", "kml", "fgb", "sql", "pmtiles")
+    val fmts = Seq("geojson", "parquet", "shp", "kml", "fgb", "sql",
+      "gpkg", "pmtiles", "mbtiles")
     val counts = CustomExport.processCategories(spark, images, Some(geom),
       Seq(cats.head), staging, outDir, formats = fmts)
     val n = counts("buildings")
@@ -77,6 +78,12 @@ class CustomExportSpec extends SparkSpec {
     assert(Files.exists(base.resolve("export.kml")))
     assert(Files.exists(base.resolve("export.sql")))
     assert(Files.exists(base.resolve("export.pmtiles")))
+    assert(Files.exists(base.resolve("export.mbtiles")))
+    // gpkg: sqlite magic + GPKG application id at header offset 68
+    val gpkg = java.nio.ByteBuffer.wrap(
+      Files.readAllBytes(base.resolve("export.gpkg")))
+    assert(new String(gpkg.array(), 0, 15, "US-ASCII") == "SQLite format 3")
+    assert(gpkg.getInt(68) == 0x47504B47)
     // fgb: magic + declared features_count == n (wire-format check)
     val fgb = java.nio.ByteBuffer.wrap(
         Files.readAllBytes(base.resolve("export.fgb")))

@@ -1,0 +1,238 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sinks.{Gpkg, MbTiles, Sqlite}
+import graft.sources.{ImageFixture, ImageTable}
+
+/** Independent minimal SQLite reader (pure file-format walk: header, catalog
+  * b-tree, table b-trees, record decoding, overflow chains) validating the
+  * from-scratch GPKG and MBTiles containers byte-for-byte. */
+class SqliteSinksSpec extends SparkSpec {
+
+  // ---- minimal sqlite reader ----------------------------------------------
+
+  private final class Db(path: String) {
+    val bytes: Array[Byte] = Files.readAllBytes(Paths.get(path))
+    val bb: ByteBuffer = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    assert(new String(bytes, 0, 15, StandardCharsets.US_ASCII) == "SQLite format 3")
+    val pageSize: Int = bb.getShort(16) & 0xffff
+    val nPages: Int = bb.getInt(28)
+    val appId: Int = bb.getInt(68)
+    assert(bytes.length == nPages * pageSize, "declared size matches file")
+    private val usable = pageSize
+    private val maxLeafLocal = usable - 35
+    private val minLocal = (usable - 12) * 32 / 255 - 23
+
+    private def pageBase(p: Int): Int = (p - 1) * pageSize
+
+    private def varint(pos0: Int): (Long, Int) = {
+      var pos = pos0; var v = 0L; var i = 0
+      while (i < 8 && (bytes(pos) & 0x80) != 0) {
+        v = (v << 7) | (bytes(pos) & 0x7f); pos += 1; i += 1
+      }
+      if (i == 8) { v = (v << 8) | (bytes(pos) & 0xff); pos += 1 }
+      else { v = (v << 7) | (bytes(pos) & 0x7f); pos += 1 }
+      (v, pos)
+    }
+
+    /** Full payload of a leaf cell, following overflow pages if present.
+      * Returns (rowid, payload). */
+    private def cellPayload(cellPos: Int): (Long, Array[Byte]) = {
+      val (p, pos1) = varint(cellPos)
+      val (rowid, pos2) = varint(pos1)
+      val local =
+        if (p <= maxLeafLocal) p.toInt
+        else {
+          val k = minLocal + ((p - minLocal) % (usable - 4)).toInt
+          if (k <= maxLeafLocal) k else minLocal
+        }
+      val out = new Array[Byte](p.toInt)
+      System.arraycopy(bytes, pos2, out, 0, local)
+      var written = local
+      if (written < p) {
+        var ovfl = bb.getInt(pos2 + local)
+        while (ovfl != 0 && written < p) {
+          val base = pageBase(ovfl)
+          val take = math.min(usable - 4, p.toInt - written)
+          System.arraycopy(bytes, base + 4, out, written, take)
+          written += take
+          ovfl = bb.getInt(base)
+        }
+      }
+      assert(written == p, "overflow chain complete")
+      (rowid, out)
+    }
+
+    private def decodeRecord(payload: Array[Byte]): Seq[Any] = {
+      val b = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+      def varintAt(pos0: Int): (Long, Int) = {
+        var pos = pos0; var v = 0L; var i = 0
+        while (i < 8 && (payload(pos) & 0x80) != 0) {
+          v = (v << 7) | (payload(pos) & 0x7f); pos += 1; i += 1
+        }
+        if (i == 8) { v = (v << 8) | (payload(pos) & 0xff); pos += 1 }
+        else { v = (v << 7) | (payload(pos) & 0x7f); pos += 1 }
+        (v, pos)
+      }
+      val (hlen, afterH) = varintAt(0)
+      var pos = afterH
+      val serials = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (pos < hlen) { val (s, np) = varintAt(pos); serials += s; pos = np }
+      var body = hlen.toInt
+      serials.map {
+        case 0 => null
+        case 1 => val v = payload(body).toLong; body += 1; v
+        case 2 => val v = b.getShort(body).toLong; body += 2; v
+        case 4 => val v = b.getInt(body).toLong; body += 4; v
+        case 6 => val v = b.getLong(body); body += 8; v
+        case 7 => val v = b.getDouble(body); body += 8; v
+        case 8 => 0L
+        case 9 => 1L
+        case s if s >= 13 && s % 2 == 1 =>
+          val len = ((s - 13) / 2).toInt
+          val v = new String(payload, body, len, StandardCharsets.UTF_8)
+          body += len; v
+        case s if s >= 12 && s % 2 == 0 =>
+          val len = ((s - 12) / 2).toInt
+          val v = java.util.Arrays.copyOfRange(payload, body, body + len)
+          body += len; v
+        case s => fail(s"unexpected serial type $s")
+      }.toSeq
+    }
+
+    /** In-order walk of a table b-tree. */
+    def readTable(root: Int): Seq[(Long, Seq[Any])] = {
+      val base = pageBase(root)
+      val hdr = if (root == 1) base + 100 else base
+      bytes(hdr) & 0xff match {
+        case 0x0d =>
+          val nCells = bb.getShort(hdr + 3) & 0xffff
+          (0 until nCells).map { i =>
+            val cellPos = base + (bb.getShort(hdr + 8 + 2 * i) & 0xffff)
+            val (rowid, payload) = cellPayload(cellPos)
+            (rowid, decodeRecord(payload))
+          }
+        case 0x05 =>
+          val nCells = bb.getShort(hdr + 3) & 0xffff
+          val kids = (0 until nCells).map { i =>
+            val cellPos = base + (bb.getShort(hdr + 12 + 2 * i) & 0xffff)
+            bb.getInt(cellPos)
+          } :+ bb.getInt(hdr + 8)
+          kids.flatMap(readTable)
+        case t => fail(s"unexpected page type $t at page $root")
+      }
+    }
+
+    /** sqlite_master → name → (rootpage, sql). */
+    val catalog: Map[String, (Int, String)] = readTable(1).map { case (_, r) =>
+      r(1).asInstanceOf[String] ->
+        ((r(3).asInstanceOf[Long].toInt, r(4).asInstanceOf[String]))
+    }.toMap
+  }
+
+  private lazy val feats = {
+    val images = ImageFixture.generate(spark, 400, 2)
+    ImageTable.derive(images)
+      .select(Seq("image_id", "kind", "lon", "lat").map(col) ++
+        (0 to 3).flatMap(i => Seq(col(s"x$i"), col(s"y$i"))): _*)
+  }
+
+  test("gpkg container round-trips through an independent sqlite reader") {
+    val path = Files.createTempDirectory("gpkg").resolve("export.gpkg").toString
+    val n = Gpkg.write(feats, path)
+    val rows = feats.collect()
+    assert(n == rows.length)
+    val db = new Db(path)
+    assert(db.appId == 0x47504B47, "GPKG application id")
+    assert(db.catalog.keySet == Set("export", "gpkg_spatial_ref_sys",
+      "gpkg_contents", "gpkg_geometry_columns"))
+    // metadata rows
+    val srs = db.readTable(db.catalog("gpkg_spatial_ref_sys")._1)
+    assert(srs.map(_._2(1).asInstanceOf[Long]).toSet == Set(-1L, 0L, 4326L))
+    val contents = db.readTable(db.catalog("gpkg_contents")._1)
+    assert(contents.size == 1 && contents.head._2.head == "export" &&
+      contents.head._2(1) == "features")
+    val gcols = db.readTable(db.catalog("gpkg_geometry_columns")._1)
+    assert(gcols.head._2.take(2) == Seq("export", "geom"))
+    // feature rows: fid ascending, attrs + GPB geometry intact
+    val stored = db.readTable(db.catalog("export")._1)
+    assert(stored.size == rows.length)
+    assert(stored.map(_._1) == (1L to n).toSeq, "fid rowids dense ascending")
+    val expect = rows.map(r => r.getString(0) -> r).toMap
+    stored.foreach { case (_, vals) =>
+      val id = vals.head.asInstanceOf[String]
+      val r = expect(id)
+      val blob = vals.last.asInstanceOf[Array[Byte]]
+      val gb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+      assert(gb.get(0) == 'G'.toByte && gb.get(1) == 'P'.toByte)
+      assert(gb.getInt(4) == 4326)
+      val wkbOff = 8 + 32 // header + envelope indicator 1
+      assert(blob(wkbOff) == 1, "wkb little-endian")
+      val wkbType = gb.getInt(wkbOff + 1)
+      r.getString(1) match {
+        case "point" =>
+          assert(wkbType == 1)
+          assert(gb.getDouble(wkbOff + 5) == r.getDouble(2))
+          assert(gb.getDouble(wkbOff + 13) == r.getDouble(3))
+        case "line" =>
+          assert(wkbType == 2 && gb.getInt(wkbOff + 5) == 3)
+          assert(gb.getDouble(wkbOff + 9) == r.getDouble(4))
+        case _ =>
+          assert(wkbType == 3 && gb.getInt(wkbOff + 5) == 1)
+          assert(gb.getInt(wkbOff + 9) == 5, "closed quad ring")
+      }
+    }
+  }
+
+  test("sqlite writer handles multi-level trees and overflow payloads") {
+    import spark.implicits._
+    val big = "x" * 9000 // forces a 3-page overflow chain at 4 KB pages
+    val df = (1 to 2000).map(i =>
+      (f"id$i%05d", if (i == 777) big else s"note$i", 1.0 + i, 2.0 + i))
+      .toDF("image_id", "note", "lon", "lat")
+    val path = Files.createTempDirectory("sq").resolve("big.gpkg").toString
+    val n = Gpkg.write(df, path)
+    assert(n == 2000)
+    val db = new Db(path)
+    val stored = db.readTable(db.catalog("export")._1)
+    assert(stored.size == 2000)
+    val byId = stored.map(r => r._2.head.asInstanceOf[String] -> r._2).toMap
+    assert(byId("id00777")(1) == big, "overflow payload intact")
+    assert(byId("id01999")(1) == "note1999")
+  }
+
+  test("mbtiles container: tiles + metadata, TMS row flip, gzip payloads") {
+    val tiled = graft.operators.SpatialJoin.tileAssign(
+      feats.select(col("lon"), col("lat"),
+        graft.plan.PlanBuilder.geoJsonFeatureCol(
+          feats.select("image_id", "lon", "lat")).as("feature")),
+      2, 4)
+    val path = Files.createTempDirectory("mbt").resolve("export.mbtiles").toString
+    val nTiles = MbTiles.write(tiled, path)
+    assert(nTiles > 0)
+    val db = new Db(path)
+    assert(db.catalog.keySet == Set("tiles", "metadata"))
+    val meta = db.readTable(db.catalog("metadata")._1)
+      .map(r => r._2.head.asInstanceOf[String] -> r._2(1).asInstanceOf[String]).toMap
+    assert(meta("format") == "json" && meta.contains("minzoom") && meta.contains("bounds"))
+    val tiles = db.readTable(db.catalog("tiles")._1)
+    assert(tiles.size.toLong == nTiles)
+    val expect = tiled.groupBy("z", "tx", "ty").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    tiles.foreach { case (_, vals) =>
+      val z = vals(0).asInstanceOf[Long].toInt
+      val tx = vals(1).asInstanceOf[Long]
+      val tmsRow = vals(2).asInstanceOf[Long]
+      val ty = (1L << z) - 1L - tmsRow // undo the TMS flip
+      assert(expect.contains((z, tx, ty)), s"unexpected tile $z/$tx/$tmsRow")
+      val gz = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(vals(3).asInstanceOf[Array[Byte]]))
+      val json = new String(gz.readAllBytes(), StandardCharsets.UTF_8)
+      assert(json.startsWith("""{"type":"FeatureCollection""""))
+      assert(json.endsWith("]}"))
+    }
+  }
+}
