@@ -104,7 +104,7 @@ object Bench {
     * noisy-neighbor windows it collapses — and (measured) the collapse is
     * NOT always visible as /proc/stat steal, so the bench self-reports both.
     * Returns (ms1, msN, effectiveParallelism). */
-  private def calibrate(): (Double, Double, Double) = {
+  private def calibrate(threads: Int = HiCpus): (Double, Double, Double) = {
     def spin(iters: Long): Double = {
       var x = 1.00000001; var i = 0L
       while (i < iters) { x = x * 1.0000001 % 3.7 + 0.1; i += 1 }
@@ -115,15 +115,15 @@ object Bench {
     val t1 = System.nanoTime()
     spin(iters)
     val ms1 = (System.nanoTime() - t1) / 1e6
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(HiCpus)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val tn = System.nanoTime()
-    val futs = (0 until HiCpus).map(_ => pool.submit(new Runnable {
+    val futs = (0 until threads).map(_ => pool.submit(new Runnable {
       def run(): Unit = spin(iters)
     }))
     futs.foreach(_.get())
     pool.shutdown()
     val msN = (System.nanoTime() - tn) / 1e6
-    (ms1, msN, HiCpus * ms1 / msN)
+    (ms1, msN, threads * ms1 / msN)
   }
 
   /** cumulative (busyTicks, totalTicks) incl. steal from /proc/stat;
@@ -243,6 +243,31 @@ object Bench {
     val (peakSec, _, _) = if (HiCpus == 16) sc.hi else timedRun(16)
     val peakThr = totalImages / peakSec
 
+    // ---- supplementary 4→16 pair (stronger evidence than 2→8) when the
+    // host calibrates clean at 16 threads (≥ 14/16 effective); otherwise the
+    // artifact documents that no clean window occurred -----------------------
+    val supp: String =
+      if (HiCpus == 16) "\"same as official pair\"" else {
+        var out: Option[String] = None
+        var bestCal = 0.0
+        var tries = 0
+        while (out.isEmpty && tries < 3) {
+          tries += 1
+          val (_, _, par) =
+            try calibrate(16) catch { case _: Throwable => (0.0, 0.0, 0.0) }
+          if (par > bestCal) bestCal = par
+          if (par >= 14.0) {
+            val lo4 = timedRun(4)
+            val hi16 = timedRun(16)
+            val e = ((totalImages / hi16._1) / (totalImages / lo4._1)) / 4.0
+            out = Some(
+              s"""{"sec_local4":${"%.3f".format(lo4._1)},"sec_local16":${"%.3f".format(hi16._1)},"scaling_efficiency_4_to_16":${"%.3f".format(e)},"cal_effective_parallelism_of_16":${"%.1f".format(par)}}""")
+          } else if (tries < 3) Thread.sleep(20000)
+        }
+        out.getOrElse(
+          s"""{"skipped":"host never calibrated >=14/16 in ${3} probes (best ${"%.1f".format(bestCal)})"}""")
+      }
+
     // ---- per-query timings on the driver tables ---------------------------
     val spark = session(cpus.toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -254,7 +279,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"spatial_join_tile_assign_images_per_sec","value":${"%.1f".format(peakThr)},"unit":"images/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${"%.3f".format(total)},"flagship":{"images":$totalImages,"rows_out":$n32,"peak_cpus":16,"peak_sec":${"%.3f".format(peakSec)},"images_per_sec_peak16":${"%.1f".format(peakThr)},"n_cpus":$LoCpus,"n4_cpus":$HiCpus,"sec_localN":${"%.3f".format(t8)},"sec_local4N":${"%.3f".format(t32)},"images_per_sec_localN":${"%.1f".format(thr8)},"images_per_sec_local4N":${"%.1f".format(thr32)},"scaling_efficiency_N_to_4N":${"%.3f".format(eff)},"host_steal_pct_localN":${"%.1f".format(steal8 * 100)},"host_steal_pct_local4N":${"%.1f".format(steal32 * 100)},"attempts":${sc.attempts},"cal_gate":$CalGate,"host_calibration":{"spin_1t_ms":${"%.0f".format(cal1)},"spin_${HiCpus}t_ms":${"%.0f".format(calN)},"effective_parallelism_of_$HiCpus":${"%.1f".format(calPar)}}}}""")
+      s"""{"metric":"spatial_join_tile_assign_images_per_sec","value":${"%.1f".format(peakThr)},"unit":"images/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${"%.3f".format(total)},"flagship":{"images":$totalImages,"rows_out":$n32,"peak_cpus":16,"peak_sec":${"%.3f".format(peakSec)},"images_per_sec_peak16":${"%.1f".format(peakThr)},"n_cpus":$LoCpus,"n4_cpus":$HiCpus,"sec_localN":${"%.3f".format(t8)},"sec_local4N":${"%.3f".format(t32)},"images_per_sec_localN":${"%.1f".format(thr8)},"images_per_sec_local4N":${"%.1f".format(thr32)},"scaling_efficiency_N_to_4N":${"%.3f".format(eff)},"host_steal_pct_localN":${"%.1f".format(steal8 * 100)},"host_steal_pct_local4N":${"%.1f".format(steal32 * 100)},"attempts":${sc.attempts},"cal_gate":$CalGate,"pair_4_16":$supp,"host_calibration":{"spin_1t_ms":${"%.0f".format(cal1)},"spin_${HiCpus}t_ms":${"%.0f".format(calN)},"effective_parallelism_of_$HiCpus":${"%.1f".format(calPar)}}}}""")
     spark.stop()
   }
 }

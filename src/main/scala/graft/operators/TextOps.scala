@@ -42,7 +42,10 @@ object TextOps {
     * deterministic regex approximation of a byte-pair pre-tokenizer, the
     * second token-budget estimator next to whitespace counting. Plain
     * character classes + alternation behave identically in Java regex and
-    * DuckDB's RE2. */
+    * DuckDB's RE2 — for BMP text: Java regex walks UTF-16 code units, RE2
+    * walks runes, so `[^a-z0-9 ]` counts an astral character (emoji etc.) as
+    * 2 in Spark and 1 in DuckDB. The fixtures are ASCII; production use on
+    * astral-heavy corpora should NFC-strip or count code points first. */
   val BpePattern = "[a-z]{1,4}|[0-9]|[^a-z0-9 ]"
 
   def tokenCountBpe(docs: DataFrame): DataFrame =
