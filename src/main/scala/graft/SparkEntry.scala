@@ -313,10 +313,16 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardAdjacent(docs(s, d))),
     "ann_cosine" -> ((s, d) => Similarity.annBrute(
       s.read.parquet(s"$d/embeddings.parquet"))),
-    "ann_ivf" -> ((s, d) => Similarity.annIvf(
+    // the self-scaling variant IS the gated path: at fixture scale
+    // kListFor/sampleModFor resolve to the pinned oracle constants (floor at
+    // DefaultK/SampleMod until n ≈ 2^18), so the same relational oracle
+    // certifies the code whose probed fraction shrinks at 10^12 rows
+    "ann_ivf" -> ((s, d) => Similarity.annIvfAuto(
       s.read.parquet(s"$d/embeddings.parquet"))),
-    // capped variant gated for the same reason as dedup_minhash_lsh above
-    "embed_neardup_lsh" -> ((s, d) => Similarity.nearDupLshCapped(
+    // auto variant (planesFor-sized + salt-capped) gated for the same reason
+    // as dedup_minhash_lsh above: planesFor floors at 8 until n ≈ 2^18, so
+    // fixture output ≡ the fixed-plane oracle
+    "embed_neardup_lsh" -> ((s, d) => Similarity.nearDupLshAuto(
       s.read.parquet(s"$d/embeddings.parquet"), tau = 0.3)),
     "q1_agg" -> ((s, d) => q1Agg(s, d)),
     "q3_join" -> ((s, d) => q3Join(s, d)),

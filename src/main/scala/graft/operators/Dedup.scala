@@ -79,6 +79,11 @@ object Dedup {
   /** MinHash-LSH near-dup pairs: band-bucket candidates → exact Jaccard ≥ τ.
     * Output: (did1, did2, jac) with did1 < did2.
     *
+    * Cache lifecycle: the (pair-sized) returned frame is the ONLY persisted
+    * intermediate that survives the call — signature caches are released
+    * before returning. The result's lifecycle is caller-owned: unpersist it
+    * after consuming in long-lived sessions.
+    *
     * Shuffle hygiene at scale: the band self-join carries ONLY (bucket,
     * doc_id) — candidate pair ids are deduped first, and the (big) shingle
     * arrays are joined back just for the surviving pairs. Shuffling the
