@@ -81,6 +81,46 @@ object Lineage {
     }
   }
 
+  /** Binary sibling of [[exportResumable]]: each task encodes its rows with
+    * the (serializable) `encode` closure and streams the bytes to
+    * `parts/p<id>.<ext>`, with the same write-ahead + atomic-rename +
+    * manifest commit protocol. Lets single-file binary formats (FlatGeobuf)
+    * serialize map-side with only header+concat left on the driver. */
+  def exportResumableBytes(
+      df: DataFrame,
+      outDir: String,
+      encode: org.apache.spark.sql.Row => Array[Byte],
+      ext: String = "bin",
+      failAtPartition: Int = -1): Unit = {
+    Files.createDirectories(Paths.get(outDir, "parts"))
+    val done = committedParts(outDir)
+    val doneBc = df.sparkSession.sparkContext.broadcast(done)
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      if (!doneBc.value.contains(pid)) {
+        if (pid == failAtPartition)
+          throw new RuntimeException(s"injected fault at partition $pid")
+        val t0 = System.currentTimeMillis()
+        val tmp = Paths.get(outDir, "parts", s"p$pid.tmp")
+        val fin = Paths.get(outDir, "parts", s"p$pid.$ext")
+        val w = new java.io.BufferedOutputStream(Files.newOutputStream(tmp))
+        var n = 0L
+        try it.foreach { r => w.write(encode(r)); n += 1 }
+        finally w.close()
+        val sz = Files.size(tmp)
+        Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        val meta = s"""{"partitionId":$pid,"rowCount":$n,"bytes":$sz,""" +
+          s""""status":"committed","wallMillis":${System.currentTimeMillis() - t0}}"""
+        val mTmp = Paths.get(outDir, "parts", s"p$pid.done.tmp")
+        Files.write(mTmp, meta.getBytes(StandardCharsets.UTF_8))
+        Files.move(mTmp, Paths.get(outDir, "parts", s"p$pid.done"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
+  }
+
   /** Compact per-partition manifests into the lineage parquet table; returns
     * the lineage DataFrame. */
   def finish(spark: SparkSession, outDir: String): DataFrame = {

@@ -137,69 +137,137 @@ object FlatGeobuf {
     bos.toByteArray
   }
 
-  /** Write the extract as one .fgb file; returns the feature count. Mixed
-    * per-row kinds → header geometry_type Unknown(0) with per-feature types,
-    * exactly how ogr2ogr writes mixed-geometry layers. */
-  def write(df0: DataFrame, path: String, name: String = "export"): Long = {
-    val df = if (df0.columns.contains("kind")) df0
-      else if (df0.columns.contains("osm_type"))
-        df0.withColumn("kind", df0.col("osm_type"))
-      else df0
-    val idx = df.columns.zipWithIndex.toMap
-    val geomCols = Set("kind", "lon", "lat", "cell") ++
-      (0 to 3).flatMap(i => Seq(s"x$i", s"y$i"))
+  private def geomColSet: Set[String] = Set("kind", "lon", "lat", "cell") ++
+    (0 to 3).flatMap(i => Seq(s"x$i", s"y$i"))
+
+  private def withKind(df0: DataFrame): DataFrame =
+    if (df0.columns.contains("kind")) df0
+    else if (df0.columns.contains("osm_type"))
+      df0.withColumn("kind", df0.col("osm_type"))
+    else df0
+
+  /** Per-row Feature serializer — a pure, serializable closure over column
+    * positions only, so it runs identically driver-side (toLocalIterator in
+    * [[write]]) and map-side in executors ([[writeDistributed]]). */
+  def rowEncoder(columns: Seq[String],
+      attrs: Seq[(Int, Int)]): Row => Array[Byte] = {
+    val idx = columns.zipWithIndex.toMap
     val haveVerts = idx.contains("x0") && idx.contains("kind")
-    // map attributes stringify (CSV/PGDump convention); schema from df0 so
-    // the added kind alias isn't emitted as an attribute
-    val attrFields = df.schema.fields.filterNot(f => geomCols(f.name))
+    val kindIdx = idx.getOrElse("kind", -1)
+    (r: Row) => {
+      def d(c: String): Double = r.getDouble(idx(c))
+      val kind = if (haveVerts) r.getString(kindIdx) else "point"
+      val (gtype, xy) = kind match {
+        case "line" =>
+          (GtLineString, (0 to 2).flatMap(i => Seq(d(s"x$i"), d(s"y$i"))).toArray)
+        case "polygon" =>
+          val q = (0 to 3).map(i => (d(s"x$i"), d(s"y$i")))
+          (GtPolygon, (q :+ q.head).flatMap { case (x, y) => Seq(x, y) }.toArray)
+        case _ => (GtPoint, Array(d("lon"), d("lat")))
+      }
+      featureBytes(gtype, xy, propBytes(r, attrs))
+    }
+  }
+
+  private def prep(df0: DataFrame): (DataFrame, Seq[(String, Int)], Seq[(Int, Int)]) = {
+    val df = withKind(df0)
+    val idx = df.columns.zipWithIndex.toMap
+    val attrFields = df.schema.fields.filterNot(f => geomColSet(f.name))
     val cols = attrFields.map(f => (f.name, columnType(f.dataType))).toSeq
     val attrs = attrFields.map(f => (idx(f.name), columnType(f.dataType))).toSeq
+    (df, cols, attrs)
+  }
 
-    def d(r: Row, c: String): Double = r.getDouble(idx(c))
+  /** Layer envelope [minX, minY, maxX, maxY] as ONE narrow column
+    * aggregation (covers anchor + vertex columns; for point rows the vertex
+    * columns equal the anchor by construction). Empty input → empty. */
+  private def envelope(df: DataFrame): Array[Double] = {
+    import org.apache.spark.sql.functions._
+    val haveVerts = df.columns.contains("x0")
+    val xs = col("lon") +: (if (haveVerts) (0 to 3).map(i => col(s"x$i")) else Nil)
+    val ys = col("lat") +: (if (haveVerts) (0 to 3).map(i => col(s"y$i")) else Nil)
+    def least_(cs: Seq[org.apache.spark.sql.Column]) =
+      if (cs.size == 1) cs.head else least(cs: _*)
+    def greatest_(cs: Seq[org.apache.spark.sql.Column]) =
+      if (cs.size == 1) cs.head else greatest(cs: _*)
+    val r = df.agg(min(least_(xs)), min(least_(ys)),
+      max(greatest_(xs)), max(greatest_(ys))).collect().head
+    if (r.isNullAt(0)) Array.empty[Double]
+    else Array(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
 
-    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
-    val sidecar = Paths.get(path + ".features.tmp")
-    val out = new BufferedOutputStream(new FileOutputStream(sidecar.toFile))
-    var n = 0L
-    var minX = Double.MaxValue; var minY = Double.MaxValue
-    var maxX = Double.MinValue; var maxY = Double.MinValue
-    try {
-      val it = df.toLocalIterator()
-      while (it.hasNext) {
-        val r = it.next()
-        val kind = if (haveVerts) r.getString(idx("kind")) else "point"
-        val (gtype, xy) = kind match {
-          case "line" =>
-            (GtLineString, (0 to 2).flatMap(i => Seq(d(r, s"x$i"), d(r, s"y$i"))).toArray)
-          case "polygon" =>
-            val q = (0 to 3).map(i => (d(r, s"x$i"), d(r, s"y$i")))
-            (GtPolygon, (q :+ q.head).flatMap { case (x, y) => Seq(x, y) }.toArray)
-          case _ => (GtPoint, Array(d(r, "lon"), d(r, "lat")))
-        }
-        var i = 0
-        while (i < xy.length) {
-          val x = xy(i); val y = xy(i + 1)
-          if (x < minX) minX = x; if (x > maxX) maxX = x
-          if (y < minY) minY = y; if (y > maxY) maxY = y
-          i += 2
-        }
-        out.write(featureBytes(gtype, xy, propBytes(r, attrs)))
-        n += 1
-      }
-    } finally out.close()
-
-    val env = if (n == 0) Array.empty[Double] else Array(minX, minY, maxX, maxY)
+  private def writeFinal(path: String, name: String, env: Array[Double],
+      cols: Seq[(String, Int)], n: Long, parts: Seq[java.nio.file.Path]): Unit = {
     val tmp = Paths.get(path + ".tmp")
     val w = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
     try {
       w.write(Magic)
       w.write(headerBytes(name, env, GtUnknown, cols, n))
-      Files.copy(sidecar, w)
-      ()
+      parts.foreach { p => Files.copy(p, w); () }
     } finally w.close()
-    Files.delete(sidecar)
     Files.move(tmp, Paths.get(path), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Write the extract as one .fgb file; returns the feature count. Mixed
+    * per-row kinds → header geometry_type Unknown(0) with per-feature types,
+    * exactly how ogr2ogr writes mixed-geometry layers. Driver-side stream
+    * (single-writer boundary); see [[writeDistributed]] for the resumable
+    * executor-side path. */
+  def write(df0: DataFrame, path: String, name: String = "export"): Long = {
+    val (df, cols, attrs) = prep(df0)
+    val encode = rowEncoder(df.columns.toIndexedSeq, attrs)
+    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
+    val sidecar = Paths.get(path + ".features.tmp")
+    val out = new BufferedOutputStream(new FileOutputStream(sidecar.toFile))
+    var n = 0L
+    try {
+      val it = df.toLocalIterator()
+      while (it.hasNext) { out.write(encode(it.next())); n += 1 }
+    } finally out.close()
+    writeFinal(path, name, envelope(df), cols, n, Seq(sidecar))
+    Files.delete(sidecar)
+    n
+  }
+
+  /** Distributed + RESUMABLE write: every executor serializes its
+    * partition's Feature flatbuffers into a committed binary lineage part
+    * (write-ahead + atomic rename, [[graft.lineage.Lineage]] protocol — a
+    * killed export resumes by re-running only uncommitted partitions), the
+    * envelope is one narrow aggregation, and the driver's only sequential
+    * work is header + part concatenation — the same boundary as the
+    * single-file FeatureCollection sink. This is the 100 TB shape: feature
+    * serialization cost lives where the data lives. Returns the count. */
+  def writeDistributed(df0: DataFrame, path: String, name: String = "export",
+      failAtPartition: Int = -1): Long = {
+    val (df, cols, attrs) = prep(df0)
+    val encode = rowEncoder(df.columns.toIndexedSeq, attrs)
+    val partsDir = path + ".export"
+    graft.lineage.Lineage.exportResumableBytes(df, partsDir, encode,
+      ext = "fgbpart", failAtPartition = failAtPartition)
+    val manifest = graft.lineage.Lineage.finish(df.sparkSession, partsDir)
+    val n = {
+      import org.apache.spark.sql.functions._
+      val r = manifest.agg(coalesce(sum("rowCount"), lit(0L))).collect().head
+      r.getLong(0)
+    }
+    val parts = {
+      val d = Paths.get(partsDir, "parts")
+      val s = Files.list(d)
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".fgbpart")) buf += p
+        }
+        // partition order: numeric part id, a stable deterministic layout
+        buf.sortBy(p => p.getFileName.toString.stripPrefix("p")
+          .stripSuffix(".fgbpart").toInt).toSeq
+      } finally s.close()
+    }
+    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
+    writeFinal(path, name, envelope(df), cols, n, parts)
     n
   }
 }

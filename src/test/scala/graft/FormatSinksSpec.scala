@@ -90,7 +90,29 @@ class FormatSinksSpec extends SparkSpec {
     val n = FlatGeobuf.write(feats, path)
     val rows = feats.collect()
     assert(n == rows.length)
+    checkFgb(path, rows)
+  }
 
+  test("distributed fgb: committed parts survive a kill, resume completes, file parses") {
+    val dir = Files.createTempDirectory("fgbd")
+    val path = dir.resolve("dist.fgb").toString
+    val repart = feats.repartition(4)
+    // inject a task fault: the job dies with some partitions already committed
+    intercept[org.apache.spark.SparkException] {
+      FlatGeobuf.writeDistributed(repart, path, failAtPartition = 2)
+    }
+    assert(!Files.exists(Paths.get(path)), "no final file on failure")
+    val committed = graft.lineage.Lineage.committedParts(path + ".export")
+    assert(committed.nonEmpty && committed.size < 4,
+      s"expected partial commit, got $committed")
+    // resume re-runs ONLY the uncommitted partitions and assembles the file
+    val n = FlatGeobuf.writeDistributed(repart, path)
+    val rows = feats.collect()
+    assert(n == rows.length)
+    checkFgb(path, rows)
+  }
+
+  private def checkFgb(path: String, rows: Array[org.apache.spark.sql.Row]): Unit = {
     val bb = ByteBuffer.wrap(Files.readAllBytes(Paths.get(path)))
       .order(ByteOrder.LITTLE_ENDIAN)
     // magic
