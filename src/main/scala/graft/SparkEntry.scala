@@ -223,6 +223,43 @@ object SparkEntry {
       .select(col("image_id"), col("tags")("parity").as("parity"))
   }
 
+  /** GET /stats/polygon analogue, computed from the DATA (the reference
+    * proxies an external statistics service, src/app.py:945-1012 — an
+    * external-API concern; the engine-side summary a user actually needs is
+    * per-type feature counts + attribute cardinality + extent over the
+    * polygon extract, API/stats.py:14-17 request shape). */
+  private def polygonStats(s: SparkSession, dir: String): DataFrame = {
+    val req = SnapshotRequest(
+      geometry = MultiPolygon(Seq(Fixtures.requestPolygon)),
+      geometryTypes = GeomType.all)
+    PlanBuilder.build(GeoCols.derivedFeatures(s, dir), req)
+      .groupBy(col("osm_type"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("tags")("parity")).as("n_parity"),
+        round(min(col("lon")), 6).as("min_lon"),
+        round(max(col("lon")), 6).as("max_lon"))
+  }
+
+  /** GET /status/ analogue (API/raw_data.py:57-62: last replication
+    * timestamp): the R3 freshness watermark as a status row. */
+  private def statusWatermark(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wm = graft.streaming.Incremental.watermark(
+      ev(s, dir).select(
+        unix_millis(col("ts").cast("timestamp")).as("committed_at")))
+    Seq(wm).toDF("last_updated")
+  }
+
+  /** GET /countries/?q= analogue (API/raw_data.py:499-504: fuzzy search over
+    * the country catalog): catalog-side ILIKE probe, the same driver-sized
+    * table the spatial join broadcasts. */
+  private def countriesQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fixtures.regions.map(r => (r.cid, r.name, r.iso3))
+      .toDF("cid", "name", "iso3")
+      .filter(lower(col("name")).contains("1"))
+  }
+
   /** P2 dynamic attribute projection over a jsonb-style column: events.props
     * ->> 'k' (the reference's tags ->> 'key' AS key, builder.py:148). */
   private def attrJson(s: SparkSession, dir: String): DataFrame =
@@ -296,6 +333,9 @@ object SparkEntry {
     "tag_or" -> ((s, d) => tagOr(s, d)),
     "tag_and" -> ((s, d) => tagAnd(s, d)),
     "tag_exists" -> ((s, d) => tagExists(s, d)),
+    "polygon_stats" -> ((s, d) => polygonStats(s, d)),
+    "status_watermark" -> ((s, d) => statusWatermark(s, d)),
+    "countries_q" -> ((s, d) => countriesQ(s, d)),
     "attr_json" -> ((s, d) => attrJson(s, d)),
     "time_window" -> ((s, d) => timeWindow(s, d)),
     "token_count" -> ((s, d) => TextOps.tokenCount(docs(s, d))),
@@ -392,6 +432,26 @@ object SparkEntry {
       s"""WITH pts AS ($P)
          |SELECT pid AS image_id, (pid % 7)::VARCHAR AS parity
          |FROM pts WHERE pid % 3 = 0""".stripMargin,
+    "polygon_stats" -> {
+      val xs = (0 to 3).map(i => s"x$i"); val ys = (0 to 3).map(i => s"y$i")
+      val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
+      s"""WITH pts AS ($P),
+         |f AS (${GeoCols.featuresSql})
+         |SELECT kind AS osm_type, COUNT(*) AS cnt,
+         |  COUNT(DISTINCT (pid % 7)::VARCHAR) AS n_parity,
+         |  round(MIN(lon), 6) AS min_lon, round(MAX(lon), 6) AS max_lon
+         |FROM f
+         |WHERE ${GeoCols.featureIntersectsSql(geom, "kind", "lon", "lat", xs, ys)}
+         |GROUP BY kind""".stripMargin
+    },
+    "status_watermark" ->
+      "SELECT max(epoch_ms(ts)) AS last_updated FROM events",
+    "countries_q" -> {
+      val vals = Fixtures.regions
+        .map(r => s"(${r.cid}, '${r.name}', '${r.iso3}')").mkString(", ")
+      s"""SELECT cid, name, iso3 FROM (VALUES $vals) AS t(cid, name, iso3)
+         |WHERE lower(name) LIKE '%1%'""".stripMargin
+    },
     "attr_json" ->
       "SELECT event_id, props->>'k' AS k_attr FROM events",
     "time_window" ->
