@@ -94,7 +94,10 @@ object PgDump {
   /** Write the extract as a psql-replayable PGDump script. Returns the row
     * count. Geometry columns (lon/lat/kind/x0..y3/cell) collapse into one
     * `geom geometry(Geometry,4326)` column; everything else keeps its type. */
-  def write(df0: DataFrame, path: String, table: String = "export"): Long = {
+  private final case class Prep(df: DataFrame, header: String,
+      encode: Row => Array[Byte])
+
+  private def prep(df0: DataFrame, table: String): Prep = {
     val withKind = if (df0.columns.contains("kind")) df0
       else if (df0.columns.contains("osm_type"))
         df0.withColumn("kind", df0.col("osm_type"))
@@ -117,43 +120,94 @@ object PgDump {
     val haveVerts = idx.contains("x0") && idx.contains("kind")
     val fieldByName = df.schema.fields.map(f => f.name -> f).toMap
 
-    def d(r: Row, c: String): Double = r.getDouble(idx(c))
-    def geomHex(r: Row): String = {
-      val kind = if (haveVerts) r.getString(idx("kind")) else "point"
-      kind match {
-        case "line" => lineEwkb((0 to 2).map(i => (d(r, s"x$i"), d(r, s"y$i"))))
-        case "polygon" =>
-          val q = (0 to 3).map(i => (d(r, s"x$i"), d(r, s"y$i")))
-          polygonEwkb(q :+ q.head)
-        case _ => pointEwkb(d(r, "lon"), d(r, "lat"))
-      }
-    }
-
     val colDefs = attrNames.map(n => s""""$n" ${pgType(fieldByName(n).dataType)}""") ++
       (if (hasGeom) Seq("\"geom\" geometry(Geometry,4326)") else Nil)
     val copyCols = (attrNames ++ (if (hasGeom) Seq("geom") else Nil))
       .map(n => s""""$n"""").mkString(", ")
+    val header = "SET standard_conforming_strings = ON;\n" +
+      s"""CREATE TABLE "$table" (${colDefs.mkString(", ")});\n""" +
+      s"""COPY "$table" ($copyCols) FROM stdin;\n"""
 
+    // per-row COPY line as a serializable closure over column positions —
+    // usable driver-side and map-side alike
+    val encode: Row => Array[Byte] = { r =>
+      def d(c: String): Double = r.getDouble(idx(c))
+      def geomHex: String = {
+        val kind = if (haveVerts) r.getString(idx("kind")) else "point"
+        kind match {
+          case "line" => lineEwkb((0 to 2).map(i => (d(s"x$i"), d(s"y$i"))))
+          case "polygon" =>
+            val q = (0 to 3).map(i => (d(s"x$i"), d(s"y$i")))
+            polygonEwkb(q :+ q.head)
+          case _ => pointEwkb(d("lon"), d("lat"))
+        }
+      }
+      val attrVals = attrNames.map { c =>
+        Option(r.get(idx(c))).map(v => esc(v.toString)).getOrElse("\\N")
+      }
+      val vals = attrVals ++ (if (hasGeom) Seq(geomHex) else Nil)
+      (vals.mkString("\t") + "\n").getBytes(StandardCharsets.UTF_8)
+    }
+    Prep(df, header, encode)
+  }
+
+  def write(df0: DataFrame, path: String, table: String = "export"): Long = {
+    val p = prep(df0, table)
     Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
     val w = Files.newBufferedWriter(Paths.get(path), StandardCharsets.UTF_8)
     var n = 0L
     try {
-      w.write("SET standard_conforming_strings = ON;\n")
-      w.write(s"""CREATE TABLE "$table" (${colDefs.mkString(", ")});\n""")
-      w.write(s"""COPY "$table" ($copyCols) FROM stdin;\n""")
-      val it = df.toLocalIterator()
+      w.write(p.header)
+      val it = p.df.toLocalIterator()
       while (it.hasNext) {
-        val r = it.next()
-        val attrVals = attrNames.map { c =>
-          Option(r.get(idx(c))).map(v => esc(v.toString)).getOrElse("\\N")
-        }
-        val vals = attrVals ++ (if (hasGeom) Seq(geomHex(r)) else Nil)
-        w.write(vals.mkString("\t"))
-        w.write("\n")
+        w.write(new String(p.encode(it.next()), StandardCharsets.UTF_8))
         n += 1
       }
       w.write("\\.\n")
     } finally w.close()
+    n
+  }
+
+  /** Distributed + RESUMABLE variant: COPY lines are encoded map-side into
+    * committed binary lineage parts ([[graft.lineage.Lineage]] write-ahead +
+    * atomic-rename protocol; a killed export re-runs only uncommitted
+    * partitions), the driver writes header + concatenated parts + terminator.
+    * Returns the row count. */
+  def writeDistributed(df0: DataFrame, path: String, table: String = "export",
+      failAtPartition: Int = -1): Long = {
+    val p = prep(df0, table)
+    val partsDir = path + ".export"
+    graft.lineage.Lineage.exportResumableBytes(p.df, partsDir, p.encode,
+      ext = "copypart", failAtPartition = failAtPartition)
+    val manifest = graft.lineage.Lineage.finish(p.df.sparkSession, partsDir)
+    val n = {
+      import org.apache.spark.sql.functions._
+      manifest.agg(coalesce(sum("rowCount"), lit(0L))).collect().head.getLong(0)
+    }
+    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
+    val tmp = Paths.get(path + ".tmp")
+    val w = new java.io.BufferedOutputStream(
+      Files.newOutputStream(tmp))
+    try {
+      w.write(p.header.getBytes(StandardCharsets.UTF_8))
+      val d = Paths.get(partsDir, "parts")
+      val s = Files.list(d)
+      val parts = try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val q = it.next()
+          if (q.getFileName.toString.endsWith(".copypart")) buf += q
+        }
+        buf.sortBy(q => q.getFileName.toString.stripPrefix("p")
+          .stripSuffix(".copypart").toInt).toSeq
+      } finally s.close()
+      parts.foreach { q => Files.copy(q, w); () }
+      w.write("\\.\n".getBytes(StandardCharsets.UTF_8))
+    } finally w.close()
+    Files.move(tmp, Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     n
   }
 }

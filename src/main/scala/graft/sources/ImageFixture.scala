@@ -176,7 +176,7 @@ object ImageFixture {
   /** Write as the engine's Iceberg-emulated table: data clustered by cell
     * (range-partitioned on the space-filling curve = CLUSTER analogue), plus
     * a manifest sidecar with per-file cell min/max for pruning and a
-    * snapshot row (SURVEY.md §1.3, §7.1). */
+    * snapshot log (SURVEY.md §1.3, §7.1). Snapshot 1. */
   def write(spark: SparkSession, n: Long, baseDir: String, partitions: Int = 32): Unit = {
     import spark.implicits._
     val df = ImageTable.derive(generate(spark, n, partitions))
@@ -189,17 +189,76 @@ object ImageFixture {
       .write.mode(SaveMode.Overwrite)
       .option("compression", "uncompressed")
       .parquet(s"$baseDir/data")
-    // manifest: per-file cell range (what Iceberg keeps in manifest files)
+    // manifest: per-file cell range + owning snapshot (what Iceberg keeps in
+    // manifest files; snapshot_id makes time travel a manifest filter)
     val manifest = spark.read.parquet(s"$baseDir/data")
       .groupBy(input_file_name().as("file"))
       .agg(min("cell").as("cell_min"), max("cell").as("cell_max"),
         count(lit(1)).as("rows"))
+      .withColumn("snapshot_id", lit(1L))
     manifest.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/manifest")
     Seq((1L, n, System.currentTimeMillis()))
       .toDF("snapshot_id", "row_count", "committed_at")
       .write.mode(SaveMode.Overwrite).parquet(s"$baseDir/snapshot")
   }
 
+  /** Append-commit (Iceberg snapshot semantics): new data files land in the
+    * data directory, the manifest gains rows tagged with the NEW snapshot id
+    * (an append commit never rewrites existing manifest rows or data files),
+    * and the snapshot log grows by one. Returns the new snapshot id. */
+  def append(spark: SparkSession, rows: DataFrame, baseDir: String,
+      partitions: Int = 4): Long = {
+    import spark.implicits._
+    val known = spark.read.parquet(s"$baseDir/manifest")
+      .select("file").as[String].collect().toSet
+    val sid = spark.read.parquet(s"$baseDir/snapshot")
+      .agg(max("snapshot_id")).as[Long].head() + 1
+    ImageTable.derive(rows)
+      .repartitionByRange(partitions, col("cell"))
+      .sortWithinPartitions("cell")
+      .write.mode(SaveMode.Append)
+      .option("compression", "uncompressed")
+      .parquet(s"$baseDir/data")
+    val newManifest = spark.read.parquet(s"$baseDir/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(min("cell").as("cell_min"), max("cell").as("cell_max"),
+        count(lit(1)).as("rows"))
+      .filter(!col("file").isin(known.toSeq: _*))
+      .withColumn("snapshot_id", lit(sid))
+    newManifest.write.mode(SaveMode.Append).parquet(s"$baseDir/manifest")
+    val added = newManifest.agg(coalesce(sum("rows"), lit(0L))).as[Long].head()
+    Seq((sid, added, System.currentTimeMillis()))
+      .toDF("snapshot_id", "row_count", "committed_at")
+      .write.mode(SaveMode.Append).parquet(s"$baseDir/snapshot")
+    sid
+  }
+
+  /** Current-snapshot read (all committed files). */
   def read(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.parquet(s"$baseDir/data")
+
+  /** Time travel: read the table AS OF `snapshotId` — a manifest filter
+    * selecting only files committed at or before that snapshot, exactly how
+    * Iceberg resolves a historical read (no data rewrite, no tombstones). */
+  def readSnapshot(spark: SparkSession, baseDir: String, snapshotId: Long): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.parquet(s"$baseDir/manifest")
+      .filter(col("snapshot_id") <= snapshotId)
+      .select("file").as[String].collect()
+    require(files.nonEmpty, s"no files at snapshot $snapshotId")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Incremental read: rows added by snapshots in (fromExclusive, to] — the
+    * replication-diff source for the R1 upsert stream, again purely a
+    * manifest filter. */
+  def readIncremental(spark: SparkSession, baseDir: String,
+      fromExclusive: Long, to: Long = Long.MaxValue): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.parquet(s"$baseDir/manifest")
+      .filter(col("snapshot_id") > fromExclusive && col("snapshot_id") <= to)
+      .select("file").as[String].collect()
+    if (files.isEmpty) spark.read.parquet(s"$baseDir/data").limit(0)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
 }

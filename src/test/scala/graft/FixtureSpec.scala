@@ -91,4 +91,33 @@ class FixtureSpec extends SparkSpec {
     val snap = spark.read.parquet(s"$dir/snapshot").collect().head
     assert(snap.getLong(1) == N)
   }
+
+  test("Iceberg-emulated append commit: snapshot isolation, time travel, incremental read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("imgtbl2").toString
+    ImageFixture.write(spark, N, dir, partitions = 4)
+    // append a second commit of 50 fresh ids (disjoint id range)
+    val extra = ImageFixture.generate(spark, N + 50, 4)
+      .filter(col("image_id") > ImageFixture.imageId(N - 1))
+    val sid = ImageFixture.append(spark, extra, dir)
+    assert(sid == 2L)
+    // current read sees both commits; AS OF 1 sees only the first
+    assert(ImageFixture.read(spark, dir).count() == N + 50)
+    assert(ImageFixture.readSnapshot(spark, dir, 1).count() == N)
+    assert(ImageFixture.readSnapshot(spark, dir, 2).count() == N + 50)
+    // time travel excludes every appended id, not just the right count
+    val oldIds = ImageFixture.readSnapshot(spark, dir, 1)
+      .select("image_id").as[String].collect().toSet
+    assert(!oldIds.exists(_ > ImageFixture.imageId(N - 1)))
+    // incremental (1, 2] = exactly the appended rows (the R1 diff source)
+    val inc = ImageFixture.readIncremental(spark, dir, fromExclusive = 1)
+    assert(inc.count() == 50)
+    assert(inc.select("image_id").as[String].collect()
+      .forall(_ > ImageFixture.imageId(N - 1)))
+    // empty diff beyond the head snapshot
+    assert(ImageFixture.readIncremental(spark, dir, fromExclusive = 2).count() == 0)
+    // snapshot log grew by one append entry with the added-row count
+    val log = spark.read.parquet(s"$dir/snapshot").orderBy("snapshot_id").collect()
+    assert(log.length == 2 && log(1).getLong(0) == 2L && log(1).getLong(1) == 50L)
+  }
 }

@@ -232,6 +232,29 @@ class FormatSinksSpec extends SparkSpec {
     }
   }
 
+  test("distributed pgdump: kill-and-resume, identical multiset of COPY lines") {
+    val dir = Files.createTempDirectory("pgdd")
+    val path = dir.resolve("dist.sql").toString
+    val repart = feats.repartition(4)
+    intercept[org.apache.spark.SparkException] {
+      PgDump.writeDistributed(repart, path, failAtPartition = 1)
+    }
+    assert(!Files.exists(Paths.get(path)))
+    val n = PgDump.writeDistributed(repart, path)
+    assert(n == feats.count())
+    val lines = Files.readAllLines(Paths.get(path))
+    assert(lines.get(lines.size - 1) == "\\.")
+    val dataLines = lines.subList(3, lines.size - 1)
+    assert(dataLines.size.toLong == n)
+    // same COPY-line multiset as the driver-streamed writer
+    val refPath = dir.resolve("ref.sql").toString
+    PgDump.write(feats, refPath)
+    val refLines = Files.readAllLines(Paths.get(refPath))
+    val refData = refLines.subList(3, refLines.size - 1)
+    assert(dataLines.stream().sorted().toArray.toSeq ==
+      refData.stream().sorted().toArray.toSeq)
+  }
+
   test("pgdump escapes COPY control characters and nulls") {
     import spark.implicits._
     val df = Seq(
