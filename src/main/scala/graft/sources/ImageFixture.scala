@@ -237,6 +237,24 @@ object ImageFixture {
   def read(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.parquet(s"$baseDir/data")
 
+  /** Manifest-pruned scan planning (the Iceberg read path): select only the
+    * data files whose [cell_min, cell_max] range intersects the requested
+    * cell range, BEFORE any parquet footer is opened. At 10^12 rows the
+    * manifest is the only thing the planner reads for a country-sized
+    * extract — file-level pruning ahead of row-group pruning; the returned
+    * frame still carries the cell filter so row groups inside surviving
+    * files prune too. */
+  def readPrunedByCell(spark: SparkSession, baseDir: String,
+      cellMin: Long, cellMax: Long): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.parquet(s"$baseDir/manifest")
+      .filter(col("cell_max") >= cellMin && col("cell_min") <= cellMax)
+      .select("file").as[String].collect()
+    if (files.isEmpty) spark.read.parquet(s"$baseDir/data").limit(0)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+      .filter(col("cell") >= cellMin && col("cell") <= cellMax)
+  }
+
   /** Time travel: read the table AS OF `snapshotId` — a manifest filter
     * selecting only files committed at or before that snapshot, exactly how
     * Iceberg resolves a historical read (no data rewrite, no tombstones). */

@@ -120,4 +120,23 @@ class FixtureSpec extends SparkSpec {
     val log = spark.read.parquet(s"$dir/snapshot").orderBy("snapshot_id").collect()
     assert(log.length == 2 && log(1).getLong(0) == 2L && log(1).getLong(1) == 50L)
   }
+
+  test("manifest prunes data files before any parquet footer is opened") {
+    val dir = Files.createTempDirectory("imgtbl3").toString
+    ImageFixture.write(spark, N, dir, partitions = 8)
+    val all = ImageFixture.read(spark, dir)
+    val allFiles = all.inputFiles.length
+    assert(allFiles >= 8, s"want ≥8 clustered files, got $allFiles")
+    // a cell range spanning one cluster chunk: take the cell at the 10th
+    // percentile row and a narrow band above it
+    val cells = all.select("cell").orderBy("cell")
+      .collect().map(_.getLong(0))
+    val (lo, hi) = (cells(cells.length / 10), cells(cells.length / 8))
+    val pruned = ImageFixture.readPrunedByCell(spark, dir, lo, hi)
+    assert(pruned.inputFiles.length < allFiles,
+      s"manifest must prune files: ${pruned.inputFiles.length} vs $allFiles")
+    // pruning loses no rows vs the unpruned filter
+    val expect = all.filter(col("cell") >= lo && col("cell") <= hi).count()
+    assert(pruned.count() == expect)
+  }
 }
