@@ -110,6 +110,13 @@ class FormatSinksSpec extends SparkSpec {
     val rows = feats.collect()
     assert(n == rows.length)
     checkFgb(path, rows)
+    // byte-identical to the driver-streamed writer on the same partitioning
+    // (toLocalIterator walks partitions in order, parts concatenate in order)
+    val refPath = dir.resolve("ref.fgb").toString
+    FlatGeobuf.write(repart, refPath)
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(path)), Files.readAllBytes(Paths.get(refPath))),
+      "distributed and driver-streamed fgb must serialize identically")
   }
 
   private def checkFgb(path: String, rows: Array[org.apache.spark.sql.Row]): Unit = {
@@ -124,6 +131,15 @@ class FormatSinksSpec extends SparkSpec {
     assert(hdr.str(0).contains("export"))
     assert(hdr.u8(2, 0) == FlatGeobuf.GtUnknown, "mixed layer → Unknown (default 0 → field absent)")
     assert(hdr.i64(8, -1L) == rows.length.toLong)
+    // envelope covers exactly the written coordinates (anchor + vertices)
+    val (envBase, envLen) = hdr.vec(1).get
+    assert(envLen == 4)
+    val env = (0 until 4).map(i => bb.getDouble(envBase + 8 * i))
+    val allX = rows.flatMap(r => Seq(r.getDouble(2)) ++
+      (0 to 3).map(i => r.getDouble(4 + 2 * i)))
+    val allY = rows.flatMap(r => Seq(r.getDouble(3)) ++
+      (0 to 3).map(i => r.getDouble(5 + 2 * i)))
+    assert(env == Seq(allX.min, allY.min, allX.max, allY.max), "envelope")
     assert(hdr.u16(9, 16) == 0, "no spatial index declared")
     val crs = hdr.table(10).get
     assert(crs.str(0).contains("EPSG") && crs.i32(1, 0) == 4326)
