@@ -8,6 +8,29 @@ import graft.streaming.Incremental
 /** Structured-streaming equivalence and incremental-maintenance semantics. */
 class StreamingSpec extends SparkSpec {
 
+  test("replication loop end-to-end: Iceberg append → incremental diff → latest-wins upsert") {
+    import spark.implicits._
+    import graft.sources.ImageFixture
+    // snapshot 1: the base table
+    val dir = java.nio.file.Files.createTempDirectory("repl").toString
+    ImageFixture.write(spark, 200, dir, partitions = 4)
+    val base = ImageFixture.readSnapshot(spark, dir, 1)
+      .select(col("image_id"), col("caption"), lit(1L).as("version"))
+    // snapshot 2: replication batch — 30 changed ids (same ids, new payloads)
+    val changed = ImageFixture.generate(spark, 30, 2)
+      .withColumn("caption", concat(lit("UPDATED "), col("caption")))
+    ImageFixture.append(spark, changed, dir)
+    // the diff read is a manifest filter — exactly the minutely diff source
+    val diff = ImageFixture.readIncremental(spark, dir, fromExclusive = 1)
+      .select(col("image_id"), col("caption"), lit(2L).as("version"))
+    assert(diff.count() == 30)
+    val merged = graft.streaming.Incremental.upsert(base, diff, "image_id", "version")
+    assert(merged.count() == 200, "upsert replaces, never duplicates")
+    val updated = merged.filter(col("caption").startsWith("UPDATED"))
+    assert(updated.count() == 30)
+    assert(merged.filter(col("version") === 2L).count() == 30)
+  }
+
   test("streaming windowed agg over events == batch result") {
     // file source needs a directory; stage the events parquet into one
     val dir = Files.createTempDirectory("evstream")
