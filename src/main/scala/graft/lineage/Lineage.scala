@@ -91,7 +91,8 @@ object Lineage {
       outDir: String,
       encode: org.apache.spark.sql.Row => Array[Byte],
       ext: String = "bin",
-      failAtPartition: Int = -1): Unit = {
+      failAtPartition: Int = -1,
+      coords: Option[org.apache.spark.sql.Row => Iterable[(Double, Double)]] = None): Unit = {
     Files.createDirectories(Paths.get(outDir, "parts"))
     val done = committedParts(outDir)
     val doneBc = df.sparkSession.sparkContext.broadcast(done)
@@ -105,19 +106,72 @@ object Lineage {
         val fin = Paths.get(outDir, "parts", s"p$pid.$ext")
         val w = new java.io.BufferedOutputStream(Files.newOutputStream(tmp))
         var n = 0L
-        try it.foreach { r => w.write(encode(r)); n += 1 }
+        // per-partition bounds accumulate DURING the single export pass, so
+        // callers needing a global envelope never re-scan the table
+        var minX = Double.MaxValue; var minY = Double.MaxValue
+        var maxX = Double.MinValue; var maxY = Double.MinValue
+        try it.foreach { r =>
+          w.write(encode(r)); n += 1
+          coords.foreach(_(r).foreach { case (x, y) =>
+            if (x < minX) minX = x; if (x > maxX) maxX = x
+            if (y < minY) minY = y; if (y > maxY) maxY = y
+          })
+        }
         finally w.close()
         val sz = Files.size(tmp)
         Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
+        val envField =
+          if (coords.isDefined && n > 0 && minX != Double.MaxValue)
+            s""","env":[$minX,$minY,$maxX,$maxY]"""
+          else ""
         val meta = s"""{"partitionId":$pid,"rowCount":$n,"bytes":$sz,""" +
-          s""""status":"committed","wallMillis":${System.currentTimeMillis() - t0}}"""
+          s""""status":"committed","wallMillis":${System.currentTimeMillis() - t0}$envField}"""
         val mTmp = Paths.get(outDir, "parts", s"p$pid.done.tmp")
         Files.write(mTmp, meta.getBytes(StandardCharsets.UTF_8))
         Files.move(mTmp, Paths.get(outDir, "parts", s"p$pid.done"),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         ()
       }
+    }
+  }
+
+  /** Committed part payload files with extension `ext`, in partition order. */
+  def committedPartFiles(outDir: String, ext: String): Seq[Path] = {
+    val d = Paths.get(outDir, "parts")
+    if (!Files.exists(d)) Nil
+    else listDir(d)
+      .filter(_.getFileName.toString.endsWith(s".$ext"))
+      .sortBy(_.getFileName.toString.stripPrefix("p").stripSuffix(s".$ext").toInt)
+  }
+
+  /** Merge the per-partition `env` bounds recorded by
+    * [[exportResumableBytes]]; None when no partition recorded any. */
+  def partEnvelope(outDir: String): Option[Array[Double]] = {
+    val envs = listDir(Paths.get(outDir, "parts"))
+      .filter(_.getFileName.toString.endsWith(".done"))
+      .flatMap { p =>
+        val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        val i = s.indexOf("\"env\":[")
+        if (i < 0) None
+        else Some(s.substring(i + 7, s.indexOf(']', i))
+          .split(',').map(_.toDouble))
+      }
+    if (envs.isEmpty) None
+    else Some(Array(envs.map(_(0)).min, envs.map(_(1)).min,
+      envs.map(_(2)).max, envs.map(_(3)).max))
+  }
+
+  /** Remove the part payloads + manifests after the final artifact is
+    * assembled — a SUCCEEDED export must not leave .done files that would
+    * make a later export to the same path silently reuse stale data (and
+    * must not keep the dataset duplicated on disk). The compacted `lineage`
+    * parquet table survives for accounting. */
+  def cleanParts(outDir: String): Unit = {
+    val d = Paths.get(outDir, "parts")
+    if (Files.exists(d)) {
+      listDir(d).foreach(Files.delete)
+      Files.delete(d)
     }
   }
 

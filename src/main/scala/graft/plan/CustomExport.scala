@@ -89,20 +89,22 @@ object CustomExport {
     case "gpkg" =>
       Some(graft.sinks.Gpkg.write(df, s"$dir/export.gpkg", table))
     case "pmtiles" =>
-      val tiled = graft.operators.SpatialJoin.tileAssign(
-        df.select(col("lon"), col("lat"),
-          PlanBuilder.geoJsonFeatureCol(df).as("feature")),
-        pmTilesZooms._1, pmTilesZooms._2)
-      val (tiles, _) = graft.sinks.PmTiles.write(tiled, s"$dir/export.pmtiles")
+      val (tiles, _) = graft.sinks.PmTiles.write(
+        tiledFeatures(df, pmTilesZooms), s"$dir/export.pmtiles")
       Some(tiles)
     case "mbtiles" =>
-      val tiled = graft.operators.SpatialJoin.tileAssign(
-        df.select(col("lon"), col("lat"),
-          PlanBuilder.geoJsonFeatureCol(df).as("feature")),
-        pmTilesZooms._1, pmTilesZooms._2)
-      Some(graft.sinks.MbTiles.write(tiled, s"$dir/export.mbtiles", table))
+      Some(graft.sinks.MbTiles.write(
+        tiledFeatures(df, pmTilesZooms), s"$dir/export.mbtiles", table))
     case f => throw new IllegalArgumentException(s"unknown format $f")
   }
+
+  /** The shared tile pipeline feeding both tile-archive sinks: serialize
+    * features, explode the z-pyramid. */
+  def tiledFeatures(df: DataFrame, zooms: (Int, Int)): DataFrame =
+    graft.operators.SpatialJoin.tileAssign(
+      df.select(col("lon"), col("lat"),
+        PlanBuilder.geoJsonFeatureCol(df).as("feature")),
+      zooms._1, zooms._2)
 
   /** Stage once, then run all categories concurrently on FAIR pools — and,
     * inside each category, all formats concurrently (the reference's
@@ -129,14 +131,34 @@ object CustomExport {
     val futs = categories.map { c =>
       val df = extractCategory(staged, c)
       val catDir = s"$outDir/${c.name}"
-      // pmtiles tile counts ≠ extract row counts — never use them as `n`
-      val fmtFuts = formats.map { f =>
+      // the two tile-archive formats share one tiled pipeline: when both are
+      // requested they run in a single future over a persisted tiled frame,
+      // so the tileAssign shuffle happens once, not per format
+      val (tileFmts, plainFmts) =
+        formats.partition(f => f == "pmtiles" || f == "mbtiles")
+      val plainFuts = plainFmts.map { f =>
         Future {
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"export-${c.name}")
-          f -> writeFormat(df, f, catDir, c.name)
+          Seq(f -> writeFormat(df, f, catDir, c.name))
         }
       }
-      Future.sequence(fmtFuts).map { results =>
+      val tileFut =
+        if (tileFmts.isEmpty) Nil
+        else Seq(Future {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"export-${c.name}")
+          if (tileFmts.size == 1)
+            Seq(tileFmts.head -> writeFormat(df, tileFmts.head, catDir, c.name))
+          else {
+            val tiled = tiledFeatures(df, (2, 6)).persist()
+            try {
+              val pm = graft.sinks.PmTiles.write(tiled, s"$catDir/export.pmtiles")._1
+              val mb = graft.sinks.MbTiles.write(tiled, s"$catDir/export.mbtiles", c.name)
+              Seq("pmtiles" -> Some(pm), "mbtiles" -> Some(mb))
+            } finally { tiled.unpersist(); () }
+          }
+        })
+      // pmtiles/mbtiles tile counts ≠ extract row counts — never used as `n`
+      Future.sequence(plainFuts ++ tileFut).map(_.flatten).map { results =>
         val reported = results.collectFirst {
           case (f, Some(n)) if !Set("pmtiles", "mbtiles", "shp")(f) => n
         }

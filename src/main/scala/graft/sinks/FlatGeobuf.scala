@@ -95,16 +95,20 @@ object FlatGeobuf {
     * Geometry table (geometry.fbs): 0=ends 1=xy ... 6=type. */
   private def featureBytes(gtype: Int, xy: Array[Double], props: Array[Byte]): Array[Byte] = {
     val b = new FlatBufferBuilder(512)
-    b.startVector(8, xy.length, 8)
-    xy.reverse.foreach(b.addDouble)
-    val xyVec = b.endVector()
-    b.startTable(8)
-    b.addOffset(1, xyVec, 0)
-    b.addByte(6, gtype.toByte, 0)
-    val geomOff = b.endTable()
+    // geometry-less record (csv/centroid-shaped extracts): Feature.geometry
+    // is an optional field — attribute-only rows are legal FlatGeobuf
+    val geomOff = if (xy.isEmpty) 0 else {
+      b.startVector(8, xy.length, 8)
+      xy.reverse.foreach(b.addDouble)
+      val xyVec = b.endVector()
+      b.startTable(8)
+      b.addOffset(1, xyVec, 0)
+      b.addByte(6, gtype.toByte, 0)
+      b.endTable()
+    }
     val propsOff = if (props.nonEmpty) b.createByteVector(props) else 0
     b.startTable(3)
-    b.addOffset(0, geomOff, 0)
+    if (geomOff != 0) b.addOffset(0, geomOff, 0)
     if (propsOff != 0) b.addOffset(1, propsOff, 0)
     b.finishSizePrefixed(b.endTable())
     b.sizedByteArray()
@@ -137,63 +141,31 @@ object FlatGeobuf {
     bos.toByteArray
   }
 
-  private def geomColSet: Set[String] = Set("kind", "lon", "lat", "cell") ++
-    (0 to 3).flatMap(i => Seq(s"x$i", s"y$i"))
-
-  private def withKind(df0: DataFrame): DataFrame =
-    if (df0.columns.contains("kind")) df0
-    else if (df0.columns.contains("osm_type"))
-      df0.withColumn("kind", df0.col("osm_type"))
-    else df0
-
   /** Per-row Feature serializer — a pure, serializable closure over column
-    * positions only, so it runs identically driver-side (toLocalIterator in
-    * [[write]]) and map-side in executors ([[writeDistributed]]). */
+    * positions only ([[FeatureModel.geomReader]]), so it runs identically
+    * driver-side (toLocalIterator in [[write]]) and map-side in executors
+    * ([[writeDistributed]]). Frames without anchor columns (csv/centroid
+    * projections) serialize attribute-only features. */
   def rowEncoder(columns: Seq[String],
       attrs: Seq[(Int, Int)]): Row => Array[Byte] = {
-    val idx = columns.zipWithIndex.toMap
-    val haveVerts = idx.contains("x0") && idx.contains("kind")
-    val kindIdx = idx.getOrElse("kind", -1)
-    (r: Row) => {
-      def d(c: String): Double = r.getDouble(idx(c))
-      val kind = if (haveVerts) r.getString(kindIdx) else "point"
-      val (gtype, xy) = kind match {
-        case "line" =>
-          (GtLineString, (0 to 2).flatMap(i => Seq(d(s"x$i"), d(s"y$i"))).toArray)
-        case "polygon" =>
-          val q = (0 to 3).map(i => (d(s"x$i"), d(s"y$i")))
-          (GtPolygon, (q :+ q.head).flatMap { case (x, y) => Seq(x, y) }.toArray)
-        case _ => (GtPoint, Array(d("lon"), d("lat")))
-      }
-      featureBytes(gtype, xy, propBytes(r, attrs))
+    val geomOf = FeatureModel.geomReader(columns)
+    (r: Row) => geomOf match {
+      case Some(g) =>
+        val geom = g(r)
+        featureBytes(geom.gtype,
+          geom.pts.flatMap { case (x, y) => Seq(x, y) }.toArray,
+          propBytes(r, attrs))
+      case None => featureBytes(0, Array.emptyDoubleArray, propBytes(r, attrs))
     }
   }
 
   private def prep(df0: DataFrame): (DataFrame, Seq[(String, Int)], Seq[(Int, Int)]) = {
-    val df = withKind(df0)
+    val df = FeatureModel.prepare(df0)
     val idx = df.columns.zipWithIndex.toMap
-    val attrFields = df.schema.fields.filterNot(f => geomColSet(f.name))
+    val attrFields = df.schema.fields.filterNot(f => FeatureModel.geomCols(f.name))
     val cols = attrFields.map(f => (f.name, columnType(f.dataType))).toSeq
     val attrs = attrFields.map(f => (idx(f.name), columnType(f.dataType))).toSeq
     (df, cols, attrs)
-  }
-
-  /** Layer envelope [minX, minY, maxX, maxY] as ONE narrow column
-    * aggregation (covers anchor + vertex columns; for point rows the vertex
-    * columns equal the anchor by construction). Empty input → empty. */
-  private def envelope(df: DataFrame): Array[Double] = {
-    import org.apache.spark.sql.functions._
-    val haveVerts = df.columns.contains("x0")
-    val xs = col("lon") +: (if (haveVerts) (0 to 3).map(i => col(s"x$i")) else Nil)
-    val ys = col("lat") +: (if (haveVerts) (0 to 3).map(i => col(s"y$i")) else Nil)
-    def least_(cs: Seq[org.apache.spark.sql.Column]) =
-      if (cs.size == 1) cs.head else least(cs: _*)
-    def greatest_(cs: Seq[org.apache.spark.sql.Column]) =
-      if (cs.size == 1) cs.head else greatest(cs: _*)
-    val r = df.agg(min(least_(xs)), min(least_(ys)),
-      max(greatest_(xs)), max(greatest_(ys))).collect().head
-    if (r.isNullAt(0)) Array.empty[Double]
-    else Array(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
   }
 
   private def writeFinal(path: String, name: String, env: Array[Double],
@@ -217,15 +189,27 @@ object FlatGeobuf {
   def write(df0: DataFrame, path: String, name: String = "export"): Long = {
     val (df, cols, attrs) = prep(df0)
     val encode = rowEncoder(df.columns.toIndexedSeq, attrs)
+    val geomOf = FeatureModel.geomReader(df.columns.toIndexedSeq)
     Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
     val sidecar = Paths.get(path + ".features.tmp")
     val out = new BufferedOutputStream(new FileOutputStream(sidecar.toFile))
     var n = 0L
+    var minX = Double.MaxValue; var minY = Double.MaxValue
+    var maxX = Double.MinValue; var maxY = Double.MinValue
     try {
       val it = df.toLocalIterator()
-      while (it.hasNext) { out.write(encode(it.next())); n += 1 }
+      while (it.hasNext) {
+        val r = it.next()
+        out.write(encode(r)); n += 1
+        geomOf.foreach(_(r).pts.foreach { case (x, y) =>
+          if (x < minX) minX = x; if (x > maxX) maxX = x
+          if (y < minY) minY = y; if (y > maxY) maxY = y
+        })
+      }
     } finally out.close()
-    writeFinal(path, name, envelope(df), cols, n, Seq(sidecar))
+    val env = if (n == 0 || minX == Double.MaxValue) Array.empty[Double]
+      else Array(minX, minY, maxX, maxY)
+    writeFinal(path, name, env, cols, n, Seq(sidecar))
     Files.delete(sidecar)
     n
   }
@@ -234,40 +218,34 @@ object FlatGeobuf {
     * partition's Feature flatbuffers into a committed binary lineage part
     * (write-ahead + atomic rename, [[graft.lineage.Lineage]] protocol — a
     * killed export resumes by re-running only uncommitted partitions), the
-    * envelope is one narrow aggregation, and the driver's only sequential
+    * envelope accumulates in the SAME pass (per-part bounds in the commit
+    * manifests — no second table scan), and the driver's only sequential
     * work is header + part concatenation — the same boundary as the
     * single-file FeatureCollection sink. This is the 100 TB shape: feature
-    * serialization cost lives where the data lives. Returns the count. */
+    * serialization cost lives where the data lives. Part payloads are
+    * removed once the final file is assembled, so a succeeded export can
+    * never be mistaken for a resumable one. Returns the count. */
   def writeDistributed(df0: DataFrame, path: String, name: String = "export",
       failAtPartition: Int = -1): Long = {
+    import graft.lineage.Lineage
     val (df, cols, attrs) = prep(df0)
     val encode = rowEncoder(df.columns.toIndexedSeq, attrs)
+    val geomOf = FeatureModel.geomReader(df.columns.toIndexedSeq)
     val partsDir = path + ".export"
-    graft.lineage.Lineage.exportResumableBytes(df, partsDir, encode,
-      ext = "fgbpart", failAtPartition = failAtPartition)
-    val manifest = graft.lineage.Lineage.finish(df.sparkSession, partsDir)
+    Lineage.exportResumableBytes(df, partsDir, encode,
+      ext = "fgbpart", failAtPartition = failAtPartition,
+      coords = geomOf.map(g => (r: Row) => g(r).pts))
+    val manifest = Lineage.finish(df.sparkSession, partsDir)
     val n = {
       import org.apache.spark.sql.functions._
       val r = manifest.agg(coalesce(sum("rowCount"), lit(0L))).collect().head
       r.getLong(0)
     }
-    val parts = {
-      val d = Paths.get(partsDir, "parts")
-      val s = Files.list(d)
-      try {
-        val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-        val it = s.iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(".fgbpart")) buf += p
-        }
-        // partition order: numeric part id, a stable deterministic layout
-        buf.sortBy(p => p.getFileName.toString.stripPrefix("p")
-          .stripSuffix(".fgbpart").toInt).toSeq
-      } finally s.close()
-    }
+    val env = Lineage.partEnvelope(partsDir).getOrElse(Array.empty[Double])
+    val parts = Lineage.committedPartFiles(partsDir, "fgbpart")
     Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
-    writeFinal(path, name, envelope(df), cols, n, parts)
+    writeFinal(path, name, env, cols, n, parts)
+    Lineage.cleanParts(partsDir)
     n
   }
 }

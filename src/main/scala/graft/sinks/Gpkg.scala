@@ -58,18 +58,15 @@ object Gpkg {
     case _ => "TEXT"
   }
 
-  /** Write the extract as a single-layer GeoPackage; returns the row count. */
+  /** Write the extract as a single-layer GeoPackage; returns the row count.
+    * Extracts without anchor columns (csv/centroid projections) store NULL
+    * geometry — legal in GPKG feature tables. */
   def write(df0: DataFrame, path: String, layer: String = "export"): Long = {
-    val df = if (df0.columns.contains("kind")) df0
-      else if (df0.columns.contains("osm_type"))
-        df0.withColumn("kind", df0.col("osm_type"))
-      else df0
+    val df = FeatureModel.prepare(df0)
     val idx = df.columns.zipWithIndex.toMap
-    val geomCols = Set("kind", "lon", "lat", "cell") ++
-      (0 to 3).flatMap(i => Seq(s"x$i", s"y$i"))
-    val haveVerts = idx.contains("x0") && idx.contains("kind")
-    val attrFields = df.schema.fields.filterNot(f => geomCols(f.name)).toSeq
-    def d(r: Row, c: String): Double = r.getDouble(idx(c))
+    val attrFields = df.schema.fields
+      .filterNot(f => FeatureModel.geomCols(f.name)).toSeq
+    val geomOf = FeatureModel.geomReader(df.columns.toIndexedSeq)
 
     Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
     val db = new Sqlite(path)
@@ -89,17 +86,15 @@ object Gpkg {
       def next(): (Long, Seq[Any]) = {
         val r = it.next()
         n += 1
-        val kind = if (haveVerts) r.getString(idx("kind")) else "point"
-        val (gtype, pts) = kind match {
-          case "line" => (2, (0 to 2).map(i => (d(r, s"x$i"), d(r, s"y$i"))))
-          case "polygon" =>
-            val q = (0 to 3).map(i => (d(r, s"x$i"), d(r, s"y$i")))
-            (3, q :+ q.head)
-          case _ => (1, Seq((d(r, "lon"), d(r, "lat"))))
-        }
-        pts.foreach { case (x, y) =>
-          if (x < minX) minX = x; if (x > maxX) maxX = x
-          if (y < minY) minY = y; if (y > maxY) maxY = y
+        val blob: Any = geomOf match {
+          case Some(g) =>
+            val geom = g(r)
+            geom.pts.foreach { case (x, y) =>
+              if (x < minX) minX = x; if (x > maxX) maxX = x
+              if (y < minY) minY = y; if (y > maxY) maxY = y
+            }
+            gpb(geom.gtype, geom.pts)
+          case None => null
         }
         val attrs = attrFields.map { f =>
           Option(r.get(idx(f.name))).map {
@@ -108,10 +103,17 @@ object Gpkg {
           }.orNull
         }
         // fid rowid, attr values, geometry blob
-        (n, attrs :+ gpb(gtype, pts))
+        (n, attrs :+ blob)
       }
     }
     db.writeTable(layer, createLayer, rows)
+
+    // AUTOINCREMENT contract: SQLite keeps the high-water mark per table in
+    // sqlite_sequence; a file that declares AUTOINCREMENT without it is
+    // read-only-at-best for real sqlite clients (INSERT fails)
+    db.writeTable("sqlite_sequence",
+      "CREATE TABLE sqlite_sequence(name,seq)",
+      Iterator((1L, Seq[Any](layer, n))))
 
     db.writeTable("gpkg_spatial_ref_sys",
       """CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, description TEXT)""",
@@ -123,7 +125,7 @@ object Gpkg {
           null))))
 
     val (emn, emx, emy, emY) =
-      if (n == 0) (null, null, null, null)
+      if (n == 0 || minX == Double.MaxValue) (null, null, null, null)
       else (minX: java.lang.Double, maxX: java.lang.Double,
         minY: java.lang.Double, maxY: java.lang.Double)
     db.writeTable("gpkg_contents",

@@ -98,26 +98,14 @@ object PgDump {
       encode: Row => Array[Byte])
 
   private def prep(df0: DataFrame, table: String): Prep = {
-    val withKind = if (df0.columns.contains("kind")) df0
-      else if (df0.columns.contains("osm_type"))
-        df0.withColumn("kind", df0.col("osm_type"))
-      else df0
-    // jsonb-style map attributes stringify to JSON (reference behavior)
-    val df = withKind.schema.fields.foldLeft(withKind) { (acc, f) =>
-      f.dataType match {
-        case _: MapType =>
-          acc.withColumn(f.name, org.apache.spark.sql.functions.to_json(acc.col(f.name)))
-        case _ => acc
-      }
-    }
+    val df = FeatureModel.prepare(df0)
     val idx = df.columns.zipWithIndex.toMap
-    val geomCols = Set("kind", "lon", "lat", "cell") ++
-      (0 to 3).flatMap(i => Seq(s"x$i", s"y$i"))
     // attribute columns = everything but the geometry model columns; the
     // build()-output `osm_type` rides along as a regular attribute
-    val attrNames = df0.schema.fields.map(_.name).filterNot(geomCols).toSeq
-    val hasGeom = idx.contains("lon") && idx.contains("lat")
-    val haveVerts = idx.contains("x0") && idx.contains("kind")
+    val attrNames = df0.schema.fields.map(_.name)
+      .filterNot(FeatureModel.geomCols).toSeq
+    val geomOf = FeatureModel.geomReader(df.columns.toIndexedSeq)
+    val hasGeom = geomOf.isDefined
     val fieldByName = df.schema.fields.map(f => f.name -> f).toMap
 
     val colDefs = attrNames.map(n => s""""$n" ${pgType(fieldByName(n).dataType)}""") ++
@@ -131,16 +119,10 @@ object PgDump {
     // per-row COPY line as a serializable closure over column positions —
     // usable driver-side and map-side alike
     val encode: Row => Array[Byte] = { r =>
-      def d(c: String): Double = r.getDouble(idx(c))
-      def geomHex: String = {
-        val kind = if (haveVerts) r.getString(idx("kind")) else "point"
-        kind match {
-          case "line" => lineEwkb((0 to 2).map(i => (d(s"x$i"), d(s"y$i"))))
-          case "polygon" =>
-            val q = (0 to 3).map(i => (d(s"x$i"), d(s"y$i")))
-            polygonEwkb(q :+ q.head)
-          case _ => pointEwkb(d("lon"), d("lat"))
-        }
+      def geomHex: String = geomOf.get(r) match {
+        case FeatureModel.Geom(1, pts) => pointEwkb(pts.head._1, pts.head._2)
+        case FeatureModel.Geom(2, pts) => lineEwkb(pts)
+        case FeatureModel.Geom(_, pts) => polygonEwkb(pts)
       }
       val attrVals = attrNames.map { c =>
         Option(r.get(idx(c))).map(v => esc(v.toString)).getOrElse("\\N")
@@ -175,11 +157,12 @@ object PgDump {
     * Returns the row count. */
   def writeDistributed(df0: DataFrame, path: String, table: String = "export",
       failAtPartition: Int = -1): Long = {
+    import graft.lineage.Lineage
     val p = prep(df0, table)
     val partsDir = path + ".export"
-    graft.lineage.Lineage.exportResumableBytes(p.df, partsDir, p.encode,
+    Lineage.exportResumableBytes(p.df, partsDir, p.encode,
       ext = "copypart", failAtPartition = failAtPartition)
-    val manifest = graft.lineage.Lineage.finish(p.df.sparkSession, partsDir)
+    val manifest = Lineage.finish(p.df.sparkSession, partsDir)
     val n = {
       import org.apache.spark.sql.functions._
       manifest.agg(coalesce(sum("rowCount"), lit(0L))).collect().head.getLong(0)
@@ -190,24 +173,15 @@ object PgDump {
       Files.newOutputStream(tmp))
     try {
       w.write(p.header.getBytes(StandardCharsets.UTF_8))
-      val d = Paths.get(partsDir, "parts")
-      val s = Files.list(d)
-      val parts = try {
-        val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-        val it = s.iterator()
-        while (it.hasNext) {
-          val q = it.next()
-          if (q.getFileName.toString.endsWith(".copypart")) buf += q
-        }
-        buf.sortBy(q => q.getFileName.toString.stripPrefix("p")
-          .stripSuffix(".copypart").toInt).toSeq
-      } finally s.close()
-      parts.foreach { q => Files.copy(q, w); () }
+      Lineage.committedPartFiles(partsDir, "copypart")
+        .foreach { q => Files.copy(q, w); () }
       w.write("\\.\n".getBytes(StandardCharsets.UTF_8))
     } finally w.close()
     Files.move(tmp, Paths.get(path),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // a succeeded export must not leave resumable state behind
+    Lineage.cleanParts(partsDir)
     n
   }
 }

@@ -199,8 +199,18 @@ final class Sqlite(path: String, pageSize: Int = 4096) {
     var level = leaves
     while (level.size > 1) {
       val fanout = (Usable - 12) / (2 + 13) // ptr slot + worst-case cell
+      // never leave a trailing singleton group: a 1-child interior page has
+      // zero cells (rightmost pointer only), a construct sqlite3 itself never
+      // emits and strict readers may reject — rebalance the last two groups
+      val groups0 = level.grouped(fanout).toVector
+      val groups =
+        if (groups0.size > 1 && groups0.last.size == 1) {
+          val split = groups0(groups0.size - 2) ++ groups0.last
+          val half = split.size / 2
+          groups0.dropRight(2) :+ split.take(half) :+ split.drop(half)
+        } else groups0
       var nextLevel = Vector.empty[(Int, Long)]
-      level.grouped(fanout).foreach { group =>
+      groups.foreach { group =>
         val page = allocPage()
         writePage(page,
           serializeInterior(group.init.map { case (p, k) => (p, k) }, group.last._1))

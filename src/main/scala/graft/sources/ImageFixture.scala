@@ -206,11 +206,14 @@ object ImageFixture {
     * data directory, the manifest gains rows tagged with the NEW snapshot id
     * (an append commit never rewrites existing manifest rows or data files),
     * and the snapshot log grows by one. Returns the new snapshot id. */
+  private def uriPath(s: String): String =
+    try new java.net.URI(s).getPath catch { case _: Exception => s }
+
   def append(spark: SparkSession, rows: DataFrame, baseDir: String,
       partitions: Int = 4): Long = {
     import spark.implicits._
     val known = spark.read.parquet(s"$baseDir/manifest")
-      .select("file").as[String].collect().toSet
+      .select("file").as[String].collect().map(uriPath).toSet
     val sid = spark.read.parquet(s"$baseDir/snapshot")
       .agg(max("snapshot_id")).as[Long].head() + 1
     ImageTable.derive(rows)
@@ -219,11 +222,15 @@ object ImageFixture {
       .write.mode(SaveMode.Append)
       .option("compression", "uncompressed")
       .parquet(s"$baseDir/data")
-    val newManifest = spark.read.parquet(s"$baseDir/data")
+    // an append commit touches only the NEW files: diff the file LISTING
+    // (no data scan) against the manifest, then aggregate just those files —
+    // O(batch) per commit, never O(table)
+    val newFiles = spark.read.parquet(s"$baseDir/data").inputFiles
+      .filterNot(f => known(uriPath(f)))
+    val newManifest = spark.read.parquet(newFiles.toIndexedSeq: _*)
       .groupBy(input_file_name().as("file"))
       .agg(min("cell").as("cell_min"), max("cell").as("cell_max"),
         count(lit(1)).as("rows"))
-      .filter(!col("file").isin(known.toSeq: _*))
       .withColumn("snapshot_id", lit(sid))
     newManifest.write.mode(SaveMode.Append).parquet(s"$baseDir/manifest")
     val added = newManifest.agg(coalesce(sum("rows"), lit(0L))).as[Long].head()

@@ -271,6 +271,72 @@ class FormatSinksSpec extends SparkSpec {
       refData.stream().sorted().toArray.toSeq)
   }
 
+  test("a succeeded distributed export leaves no resumable state: rerun writes NEW data") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fgbr")
+    val path = dir.resolve("re.fgb").toString
+    val dfA = Seq(("a1", 1.0, 2.0)).toDF("image_id", "lon", "lat")
+    val dfB = Seq(("b1", 3.0, 4.0), ("b2", 5.0, 6.0)).toDF("image_id", "lon", "lat")
+    assert(FlatGeobuf.writeDistributed(dfA, path) == 1)
+    assert(!Files.exists(Paths.get(path + ".export/parts")),
+      "part payloads must be cleaned after success")
+    // the same path written again with DIFFERENT data must contain dfB, not
+    // a silently-reused dfA (the stale-commit trap)
+    assert(FlatGeobuf.writeDistributed(dfB, path) == 2)
+    val bb = ByteBuffer.wrap(Files.readAllBytes(Paths.get(path)))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val (hdr, _) = sizePrefixed(bb, 8)
+    assert(hdr.i64(8, -1L) == 2L, "rerun must reflect the new dataset")
+  }
+
+  test("geometry-less (csv-shaped) extracts export as attribute-only records") {
+    import spark.implicits._
+    val df = Seq(("i1", 10.5, 20.5, "POINT"), ("i2", 11.5, 21.5, "LINESTRING"))
+      .toDF("image_id", "longitude", "latitude", "geom_type")
+    val dir = Files.createTempDirectory("nogeom")
+    // fgb: features with no geometry table, header without envelope
+    val fp = dir.resolve("ng.fgb").toString
+    assert(FlatGeobuf.write(df, fp) == 2)
+    val bb = ByteBuffer.wrap(Files.readAllBytes(Paths.get(fp)))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val (hdr, featStart) = sizePrefixed(bb, 8)
+    assert(hdr.i64(8, -1L) == 2L)
+    val (f0, _) = sizePrefixed(bb, featStart)
+    assert(f0.table(0).isEmpty, "no geometry table on csv-shaped rows")
+    assert(f0.vec(1).isDefined, "attributes still serialized")
+    // pgdump: no geom column declared, plain attribute COPY
+    val sp = dir.resolve("ng.sql").toString
+    assert(PgDump.write(df, sp) == 2)
+    val lines = Files.readAllLines(Paths.get(sp))
+    assert(!lines.get(1).contains("geometry(Geometry"), "no geom column")
+    assert(lines.get(3).split("\t", -1).length == 4)
+  }
+
+  test("map attributes serialize as JSON, not JVM toString, in every sink") {
+    import spark.implicits._
+    val df = Seq(("i1", Map("parity" -> "3"), 1.0, 2.0))
+      .toDF("image_id", "tags", "lon", "lat")
+    val dir = Files.createTempDirectory("mapattr")
+    val fp = dir.resolve("m.fgb").toString
+    FlatGeobuf.write(df, fp)
+    val bb = ByteBuffer.wrap(Files.readAllBytes(Paths.get(fp)))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val (hdr, featStart) = sizePrefixed(bb, 8)
+    val (colsBase, colsLen) = hdr.vec(7).get
+    val colTypes = (0 until colsLen).map { i =>
+      val p = colsBase + 4 * i
+      new Fb(bb, p + bb.getInt(p)).u8(1, 0)
+    }
+    val (f0, _) = sizePrefixed(bb, featStart)
+    val (pBase, pLen) = f0.vec(1).get
+    val props = parseProps(bb, pBase, pLen, colTypes)
+    assert(props(1) == """{"parity":"3"}""", s"got ${props(1)}")
+    val sp = dir.resolve("m.sql").toString
+    PgDump.write(df, sp)
+    val line = Files.readAllLines(Paths.get(sp)).get(3)
+    assert(line.contains("""{"parity":"3"}"""), line)
+  }
+
   test("pgdump escapes COPY control characters and nulls") {
     import spark.implicits._
     val df = Seq(

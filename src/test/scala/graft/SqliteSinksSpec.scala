@@ -147,8 +147,8 @@ class SqliteSinksSpec extends SparkSpec {
     assert(n == rows.length)
     val db = new Db(path)
     assert(db.appId == 0x47504B47, "GPKG application id")
-    assert(db.catalog.keySet == Set("export", "gpkg_spatial_ref_sys",
-      "gpkg_contents", "gpkg_geometry_columns"))
+    assert(db.catalog.keySet == Set("export", "sqlite_sequence",
+      "gpkg_spatial_ref_sys", "gpkg_contents", "gpkg_geometry_columns"))
     // metadata rows
     val srs = db.readTable(db.catalog("gpkg_spatial_ref_sys")._1)
     assert(srs.map(_._2(1).asInstanceOf[Long]).toSet == Set(-1L, 0L, 4326L))
@@ -202,6 +202,38 @@ class SqliteSinksSpec extends SparkSpec {
     val byId = stored.map(r => r._2.head.asInstanceOf[String] -> r._2).toMap
     assert(byId("id00777")(1) == big, "overflow payload intact")
     assert(byId("id01999")(1) == "note1999")
+  }
+
+  test("gpkg declares sqlite_sequence so AUTOINCREMENT files stay writable") {
+    val path = Files.createTempDirectory("gpkseq").resolve("s.gpkg").toString
+    val n = Gpkg.write(feats.limit(5), path)
+    val db = new Db(path)
+    assert(db.catalog.contains("sqlite_sequence"),
+      "AUTOINCREMENT without sqlite_sequence breaks real sqlite INSERTs")
+    val seq = db.readTable(db.catalog("sqlite_sequence")._1)
+    assert(seq.size == 1 && seq.head._2 == Seq("export", n))
+  }
+
+  test("interior pages never have zero cells (trailing-singleton rebalance)") {
+    // tiny pages force a multi-level tree; choose a row count that would
+    // otherwise leave a 1-leaf trailing interior group
+    val path = Files.createTempDirectory("sqmulti").resolve("m.db").toString
+    val db = new Sqlite(path, pageSize = 512)
+    val rows = (1L to 1200L).iterator.map(i => (i, Seq[Any](s"v$i", i * 7)))
+    db.writeTable("t", "CREATE TABLE t(v TEXT, k INTEGER)", rows)
+    db.finish()
+    val rd = new Db(path)
+    // every interior page in the file must carry ≥1 cell
+    (1 until rd.nPages).foreach { p =>
+      val base = p * rd.pageSize
+      if ((rd.bytes(base) & 0xff) == 0x05)
+        assert((rd.bb.getShort(base + 3) & 0xffff) >= 1,
+          s"zero-cell interior page at ${p + 1}")
+    }
+    val got = rd.readTable(rd.catalog("t")._1)
+    assert(got.size == 1200)
+    assert(got.map(_._1) == (1L to 1200L))
+    assert(got.head._2 == Seq("v1", 7L))
   }
 
   test("mbtiles container: tiles + metadata, TMS row flip, gzip payloads") {
