@@ -82,10 +82,12 @@ object CustomExport {
     case "kml" =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
       Some(graft.sinks.Sinks.kml(df, s"$dir/export.kml"))
+    // the distributed resumable writers ARE the default matrix paths (spec
+    // proves byte-identity with the driver-streamed variants)
     case "fgb" =>
-      Some(graft.sinks.FlatGeobuf.write(df, s"$dir/export.fgb", table))
+      Some(graft.sinks.FlatGeobuf.writeDistributed(df, s"$dir/export.fgb", table))
     case "sql" =>
-      Some(graft.sinks.PgDump.write(df, s"$dir/export.sql", table))
+      Some(graft.sinks.PgDump.writeDistributed(df, s"$dir/export.sql", table))
     case "gpkg" =>
       Some(graft.sinks.Gpkg.write(df, s"$dir/export.gpkg", table))
     case "pmtiles" =>
