@@ -80,8 +80,7 @@ object CustomExport {
     case "shp" =>
       Some(graft.sinks.Shapefile.write(df, s"$dir/shp").values.map(_.toLong).sum)
     case "kml" =>
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      Some(graft.sinks.Sinks.kml(df, s"$dir/export.kml"))
+      Some(graft.sinks.Sinks.kmlDistributed(df, dir))
     // the distributed resumable writers ARE the default matrix paths (spec
     // proves byte-identity with the driver-streamed variants)
     case "fgb" =>

@@ -135,6 +135,79 @@ object Sinks {
     n
   }
 
+  /** Placemark serialization as a Column EXPRESSION — KML's analogue of
+    * `PlanBuilder.geoJsonFeatureCol`: the XML assembles inside whole-stage
+    * codegen on the executors, not in a driver loop. The name is the id
+    * column when present (XML-escaped), empty otherwise. */
+  def kmlPlacemarkCol(df: DataFrame): org.apache.spark.sql.Column = {
+    val have = df.columns.toSet
+    val kindCol = if (have("kind")) Some(col("kind"))
+      else if (have("osm_type")) Some(col("osm_type")) else None
+    def esc(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(regexp_replace(
+        c.cast("string"), lit("&"), lit("&amp;")),
+        lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val name = if (have("image_id")) esc(coalesce(col("image_id"), lit("")))
+      else lit("")
+    def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      concat(x.cast("string"), lit(","), y.cast("string"))
+    val xs = (0 to 3).map(i => col(s"x$i")); val ys = (0 to 3).map(i => col(s"y$i"))
+    val geom = kindCol match {
+      case Some(k) if have("x0") =>
+        when(k === "point",
+          concat(lit("<Point><coordinates>"), pt(col("lon"), col("lat")),
+            lit("</coordinates></Point>")))
+          .when(k === "line",
+            concat(lit("<LineString><coordinates>"),
+              pt(xs(0), ys(0)), lit(" "), pt(xs(1), ys(1)), lit(" "),
+              pt(xs(2), ys(2)), lit("</coordinates></LineString>")))
+          .otherwise(
+            concat(lit("<Polygon><outerBoundaryIs><LinearRing><coordinates>"),
+              pt(xs(0), ys(0)), lit(" "), pt(xs(1), ys(1)), lit(" "),
+              pt(xs(2), ys(2)), lit(" "), pt(xs(3), ys(3)), lit(" "),
+              pt(xs(0), ys(0)),
+              lit("</coordinates></LinearRing></outerBoundaryIs></Polygon>")))
+      case _ => concat(lit("<Point><coordinates>"),
+        pt(col("lon"), col("lat")), lit("</coordinates></Point>"))
+    }
+    concat(lit("<Placemark><name>"), name, lit("</name>"), geom,
+      lit("</Placemark>"))
+  }
+
+  /** Distributed + resumable KML: placemarks serialize in the PLAN
+    * (executor-side, [[kmlPlacemarkCol]]) into committed lineage parts; the
+    * driver wraps header + parts + footer — the featureCollection boundary.
+    * Returns the placemark count. */
+  def kmlDistributed(extract: DataFrame, outDir: String): Long = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val lines = extract.select(kmlPlacemarkCol(extract).as("line"))
+    Lineage.exportResumable(lines, outDir)
+    val n = Lineage.finish(extract.sparkSession, outDir)
+      .agg(coalesce(sum("rowCount"), lit(0L))).collect().head.getLong(0)
+    val tmp = Paths.get(outDir, "export.kml.tmp")
+    val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+    try {
+      w.write("""<?xml version="1.0" encoding="UTF-8"?>""")
+      w.write("""<kml xmlns="http://www.opengis.net/kml/2.2"><Document>""")
+      Lineage.committedPartFiles(outDir, "jsonl").foreach { p =>
+        val r = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+        try {
+          var line = r.readLine()
+          while (line != null) {
+            if (line.nonEmpty) w.write(line)
+            line = r.readLine()
+          }
+        } finally r.close()
+      }
+      w.write("</Document></kml>")
+    } finally w.close()
+    Files.move(tmp, Paths.get(outDir, "export.kml"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Lineage.cleanParts(outDir)
+    n
+  }
+
   /** S7 — tile tree: one directory per (z, tx, ty), the pmtiles layout
     * analogue; partition pruning makes single-tile reads O(tile). */
   def tileTree(tiled: DataFrame, outDir: String): Unit =

@@ -132,4 +132,32 @@ class ShapefileSpec extends SparkSpec {
       doc.getElementsByTagName("LineString").getLength +
       doc.getElementsByTagName("Polygon").getLength == n)
   }
+
+  test("distributed kml (placemarks serialized in the plan) matches the driver writer") {
+    val dir = Files.createTempDirectory("kmld").toString
+    val n = Sinks.kmlDistributed(feats, dir)
+    assert(n == feats.count())
+    def parse(p: String) = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().parse(new java.io.File(p))
+    val doc = parse(s"$dir/export.kml")
+    assert(doc.getElementsByTagName("Placemark").getLength.toLong == n)
+    // structural equality with the driver-streamed writer: same multiset of
+    // (name, geometry element) pairs
+    val refDir = Files.createTempDirectory("kmlr").toString
+    Sinks.kml(feats, s"$refDir/ref.kml")
+    def placemarkSet(p: String): Set[(String, String)] = {
+      val d = parse(p)
+      val pms = d.getElementsByTagName("Placemark")
+      (0 until pms.getLength).map { i =>
+        val e = pms.item(i).asInstanceOf[org.w3c.dom.Element]
+        val name = e.getElementsByTagName("name").item(0).getTextContent
+        val geomKind = Seq("Point", "LineString", "Polygon")
+          .find(k => e.getElementsByTagName(k).getLength > 0).get
+        (name, geomKind)
+      }.toSet
+    }
+    assert(placemarkSet(s"$dir/export.kml") == placemarkSet(s"$refDir/ref.kml"))
+    // serialization happened in the plan: no parts left, codegen-able concat
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "parts")))
+  }
 }
