@@ -74,7 +74,7 @@ object CustomExport {
     case "parquet" =>
       graft.sinks.Sinks.parquetZstd(df, s"$dir/parquet"); None
     case "csv" =>
-      graft.sinks.Sinks.csv(df, s"$dir/csv"); None
+      Some(graft.sinks.Sinks.csvSingle(df, s"$dir/csv"))
     case "json" =>
       graft.sinks.Sinks.json(df, s"$dir/json"); None
     case "shp" =>

@@ -80,6 +80,47 @@ object Sinks {
     flat.write.mode(SaveMode.Overwrite).option("header", "true").csv(outDir)
   }
 
+  /** S5 — ONE CSV file (the reference's csv export is a single file):
+    * rows serialize in the PLAN via `to_csv` (codegen'd quoting/escaping)
+    * into committed lineage parts; the driver writes header + parts.
+    * Returns the row count. */
+  def csvSingle(extract: DataFrame, outDir: String): Long = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val flat = extract.schema.fields.foldLeft(extract) { (df, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.MapType =>
+          df.withColumn(f.name, to_json(col(f.name)))
+        case _ => df
+      }
+    }
+    val lines = flat.select(
+      to_csv(struct(flat.columns.map(col).toIndexedSeq: _*)).as("line"))
+    Lineage.exportResumable(lines, outDir)
+    val n = Lineage.finish(extract.sparkSession, outDir)
+      .agg(coalesce(sum("rowCount"), lit(0L))).collect().head.getLong(0)
+    val tmp = Paths.get(outDir, "export.csv.tmp")
+    val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+    try {
+      w.write(flat.columns.mkString(","))
+      w.write("\n")
+      Lineage.committedPartFiles(outDir, "jsonl").foreach { p =>
+        val r = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+        try {
+          var line = r.readLine()
+          while (line != null) {
+            if (line.nonEmpty) { w.write(line); w.write("\n") }
+            line = r.readLine()
+          }
+        } finally r.close()
+      }
+    } finally w.close()
+    Files.move(tmp, Paths.get(outDir, "export.csv"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Lineage.cleanParts(outDir)
+    n
+  }
+
   /** S5 — JSON lines (the FlatGeobuf/KML structural stand-in: one nested
     * record per row). */
   def json(extract: DataFrame, outDir: String): Unit =

@@ -38,6 +38,29 @@ class SinksSpec extends SparkSpec {
     assert(back.count() > 0)
   }
 
+  test("single-file csv: plan-side to_csv rows + header, re-readable, quoting intact") {
+    import spark.implicits._
+    val df = Seq(
+      ("a1", "plain", 1.5),
+      ("a2", "with,comma", 2.5),
+      ("a3", "with \"quote\"", 3.5))
+      .toDF("id", "note", "v")
+    val dir = java.nio.file.Files.createTempDirectory("csv1").toString
+    val n = Sinks.csvSingle(df, dir)
+    assert(n == 3)
+    val f = s"$dir/export.csv"
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f)))
+    // Spark's own csv reader round-trips the quoting
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(f)
+    assert(back.columns.toSeq == Seq("id", "note", "v"))
+    assert(back.count() == 3)
+    val notes = back.select("note").as[String].collect().toSet
+    assert(notes == Set("plain", "with,comma", "with \"quote\""))
+    // parts cleaned after assembly
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "parts")))
+  }
+
   test("zstd parquet + json sinks roundtrip") {
     val pDir = Files.createTempDirectory("pq").toString
     val jDir = Files.createTempDirectory("js").toString
