@@ -76,4 +76,26 @@ object Incremental {
           } else Iterator.empty
       }
   }
+
+  /** Streaming GeoJSON export: every micro-batch's features append to the
+    * SAME resumable parts directory via the lineage commit protocol —
+    * `foreachBatch` + per-batch subdirectories keyed by batch id, so a
+    * restarted query (checkpointed batch ids) never double-writes a batch
+    * and the export directory is always the union of committed batches.
+    * Returns the started query; caller owns its lifecycle. */
+  def streamGeojsonExport(
+      features: DataFrame, // streaming frame with feature-model columns
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    features.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.lineage.Lineage.exportResumable(
+          graft.plan.PlanBuilder.toGeoJsonFeature(batch),
+          s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
 }

@@ -8,6 +8,37 @@ import graft.streaming.Incremental
 /** Structured-streaming equivalence and incremental-maintenance semantics. */
 class StreamingSpec extends SparkSpec {
 
+  test("streaming geojson export: per-batch lineage commits, parseable union") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Double, Double)]
+    val features = in.toDF().toDF("image_id", "lon", "lat")
+    val outDir = Files.createTempDirectory("sgeo").toString
+    val ckpt = Files.createTempDirectory("sgeo_ck").toString
+    val q = Incremental.streamGeojsonExport(features, outDir, ckpt)
+    try {
+      in.addData(("s1", 1.0, 2.0), ("s2", 3.0, 4.0))
+      q.processAllAvailable()
+      in.addData(("s3", 5.0, 6.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // two committed batch directories, 3 features total, each valid JSON
+    val batches = Files.list(Paths.get(outDir)).toArray.map(_.toString)
+      .filter(_.contains("batch=")).sorted
+    assert(batches.length == 2, batches.mkString(","))
+    val lines = batches.flatMap { b =>
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(b, "parts")).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".jsonl"))
+        .flatMap(p => Files.readAllLines(p).asScala)
+        .filter(_.nonEmpty)
+    }
+    assert(lines.length == 3)
+    val parsed = spark.read.json(lines.toSeq.toDS)
+    assert(parsed.filter(col("type") === "Feature").count() == 3)
+  }
+
   test("replication loop end-to-end: Iceberg append → incremental diff → latest-wins upsert") {
     import spark.implicits._
     import graft.sources.ImageFixture
