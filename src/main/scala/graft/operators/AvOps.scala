@@ -73,11 +73,13 @@ object AvOps {
   // ---- STUB codecs (deterministic fakes — see object doc) --------------------
 
   /** STUB: "decode" one video frame at `tsMs`. Real implementation = a codec
-    * call; the fake reuses the image fixture's seeded pixel pattern keyed by
-    * (video_id, ts) so output is reproducible and the downstream image ops
-    * (resize/phash/PSNR) run on REAL PNG bytes. */
-  def decodeFrameStub(videoId: String, tsMs: Long, w: Int, h: Int): Array[Byte] = {
-    val img = ImageFixture.pixels(s"$videoId@$tsMs", w, h)
+    * call over the payload; the fake reuses the image fixture's seeded pixel
+    * pattern keyed by (payload fingerprint, ts) — like a real decoder, output
+    * depends on the CONTENT (identical payloads decode to identical frames),
+    * is reproducible, and downstream image ops (resize/phash/PSNR) run on
+    * REAL PNG bytes. */
+  def decodeFrameStub(contentFp: Long, tsMs: Long, w: Int, h: Int): Array[Byte] = {
+    val img = ImageFixture.pixels(s"v$contentFp@$tsMs", w, h)
     ImageFixture.encode(img, "png")
   }
 
@@ -102,20 +104,59 @@ object AvOps {
     * (`mapPartitions`, the mapInPandas batch shape). Zero shuffle. */
   def sampleFrames(videos: Dataset[VideoRow], everyMs: Long = 1000L): Dataset[FrameRow] = {
     import videos.sparkSession.implicits._
+    // the payload fingerprint (what the stub "decodes") is computed ONCE per
+    // video before the explode, so the big binary column does not ride
+    // through the frame fan-out
     val lattice = videos.toDF()
-      .select(col("video_id"), col("w"), col("h"),
+      .select(col("video_id"), xxhash64(col("bytes")).as("fp"),
+        col("w"), col("h"),
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))).as("ts_ms"))
-    lattice.as[(String, Int, Int, Long)].mapPartitions { it =>
+    lattice.as[(String, Long, Int, Int, Long)].mapPartitions { it =>
       // batched: one decoder context per partition, reused across rows —
       // exactly where a real codec would amortize its setup
-      it.map { case (vid, w, h, ts) =>
-        val png = decodeFrameStub(vid, ts, w, h)
+      it.map { case (vid, fp, w, h, ts) =>
+        val png = decodeFrameStub(fp, ts, w, h)
         val (dw, dh, _) = Multimodal.payloadInfo(png)
         // real feature math over the decoded frame (8×8 gray block means)
         val luma = Multimodal.gray8x8(Multimodal.decode(png)).sum / 64.0
         FrameRow(vid, (ts / everyMs).toInt, ts, dw, dh, png, luma)
       }
     }
+  }
+
+  /** Video near-duplicate pairs — the multimodal×dedup composition: sample
+    * frames on a shared lattice, perceptual-hash each frame (REAL phash over
+    * the decoded PNGs, `PngCodec.lumaHash`), then band frames into
+    * (frame_idx, phash) buckets so candidate generation is an EQUI-join (two
+    * videos pair only if some aligned frame hashes collide exactly — the
+    * frame-level analogue of MinHash banding; never an all-pairs video
+    * comparison). Verify = fraction of aligned frames with hamming ≤ tol.
+    * Output: (vid1, vid2, match_frac) with vid1 < vid2, match_frac ≥ minFrac. */
+  def videoNearDup(videos: Dataset[VideoRow], everyMs: Long = 1000L,
+      tol: Int = 4, minFrac: Double = 0.5): DataFrame = {
+    import videos.sparkSession.implicits._
+    val hashes = sampleFrames(videos, everyMs)
+      .map(f => (f.video_id, f.frame_idx,
+        PngCodec.lumaHash(f.frame_png)._3))
+      .toDF("video_id", "frame_idx", "phash")
+    val l = hashes.select(col("frame_idx"), col("phash"),
+      col("video_id").as("vid1"))
+    val r = hashes.select(col("frame_idx"), col("phash"),
+      col("video_id").as("vid2"))
+    val cand = l.join(r, Seq("frame_idx", "phash"))
+      .filter(col("vid1") < col("vid2"))
+      .select(col("vid1"), col("vid2")).distinct()
+    // verify candidates over their aligned frames: one equi-join per side,
+    // hamming via bit_count(xor) — codegen'd, no UDF
+    val h1 = hashes.select(col("video_id").as("vid1"),
+      col("frame_idx"), col("phash").as("p1"))
+    val h2 = hashes.select(col("video_id").as("vid2"),
+      col("frame_idx"), col("phash").as("p2"))
+    cand.join(h1, Seq("vid1")).join(h2, Seq("vid2", "frame_idx"))
+      .groupBy(col("vid1"), col("vid2"))
+      .agg(round(avg(when(bit_count(col("p1").bitwiseXOR(col("p2"))) <= tol, 1.0)
+        .otherwise(0.0)), 4).as("match_frac"))
+      .filter(col("match_frac") >= minFrac)
   }
 
   /** Audio feature extraction: duration, RMS, zero-crossing rate, peak —

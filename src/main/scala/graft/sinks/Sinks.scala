@@ -28,16 +28,7 @@ object Sinks {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths, StandardCopyOption}
     geojson(extract, outDir)
-    val partsDir = Paths.get(outDir, "parts")
-    val sorted = {
-      val st = Files.list(partsDir)
-      try {
-        val it = st.iterator()
-        val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-        while (it.hasNext) { val p = it.next(); if (p.getFileName.toString.endsWith(".jsonl")) buf += p }
-        buf.sortBy(_.getFileName.toString)
-      } finally st.close()
-    }
+    val sorted = Lineage.committedPartFiles(outDir, "jsonl")
     val tmp = Paths.get(outDir, "export.geojson.tmp")
     val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
     var first = true

@@ -54,6 +54,25 @@ class AvOpsSpec extends SparkSpec {
     }
   }
 
+  test("video near-dup: identical payloads pair via aligned-frame phash banding") {
+    import org.apache.spark.sql.functions.col
+    // 20 distinct videos + one EXACT duplicate pair (same payload bytes, new
+    // id) + one near-miss (different payload): only the planted pair matches
+    val base = AvOps.videoFixture(spark, 20).collect()
+    val dup = base(3).copy(video_id = "vidDUPLICATE")
+    val all = spark.createDataset(base.toIndexedSeq :+ dup)(
+      org.apache.spark.sql.Encoders.product[AvOps.VideoRow])
+    val pairs = AvOps.videoNearDup(all, everyMs = 900L).collect()
+    assert(pairs.length == 1, pairs.mkString(","))
+    val p = pairs.head
+    assert(Set(p.getString(0), p.getString(1)) ==
+      Set(base(3).video_id, "vidDUPLICATE"))
+    assert(p.getDouble(2) == 1.0, "identical payloads → every aligned frame matches")
+    // the candidate join is banded (equi-join), never an all-pairs video join
+    val plan = AvOps.videoNearDup(all).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("audio features: real math over stub PCM, zero shuffle, sane ranges") {
     val audio = AvOps.audioFixture(spark, 32)
     val feats = AvOps.audioFeatures(audio)
