@@ -131,19 +131,32 @@ object AvOps {
     * videos pair only if some aligned frame hashes collide exactly — the
     * frame-level analogue of MinHash banding; never an all-pairs video
     * comparison). Verify = fraction of aligned frames with hamming ≤ tol.
-    * Output: (vid1, vid2, match_frac) with vid1 < vid2, match_frac ≥ minFrac. */
+    * Output: (vid1, vid2, match_frac) with vid1 < vid2, match_frac ≥ minFrac.
+    *
+    * Hot buckets (boilerplate frames — intros, black frames — hashing
+    * identically across many videos) are salt-capped exactly like the
+    * text/embedding LSH joins: buckets above `cap` split into salt
+    * sub-buckets so no candidate group is ever quadratic in the corpus; the
+    * size histogram joins on the same key as the self-join (exchange
+    * reused). Under-cap buckets are exhaustive. */
   def videoNearDup(videos: Dataset[VideoRow], everyMs: Long = 1000L,
-      tol: Int = 4, minFrac: Double = 0.5): DataFrame = {
+      tol: Int = 4, minFrac: Double = 0.5, cap: Int = 1024): DataFrame = {
     import videos.sparkSession.implicits._
     val hashes = sampleFrames(videos, everyMs)
       .map(f => (f.video_id, f.frame_idx,
         PngCodec.lumaHash(f.frame_png)._3))
       .toDF("video_id", "frame_idx", "phash")
-    val l = hashes.select(col("frame_idx"), col("phash"),
+    val sizes = hashes.groupBy(col("frame_idx"), col("phash")).count()
+    val salted = hashes.join(sizes, Seq("frame_idx", "phash"))
+      .withColumn("nsub",
+        greatest(lit(1L), ceil(col("count").cast("double") / lit(cap.toDouble)).cast("long")))
+      .withColumn("salt", pmod(xxhash64(col("video_id")), col("nsub")))
+      .select(col("video_id"), col("frame_idx"), col("phash"), col("salt"))
+    val l = salted.select(col("frame_idx"), col("phash"), col("salt"),
       col("video_id").as("vid1"))
-    val r = hashes.select(col("frame_idx"), col("phash"),
+    val r = salted.select(col("frame_idx"), col("phash"), col("salt"),
       col("video_id").as("vid2"))
-    val cand = l.join(r, Seq("frame_idx", "phash"))
+    val cand = l.join(r, Seq("frame_idx", "phash", "salt"))
       .filter(col("vid1") < col("vid2"))
       .select(col("vid1"), col("vid2")).distinct()
     // verify candidates over their aligned frames: one equi-join per side,

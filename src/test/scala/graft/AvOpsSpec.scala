@@ -71,6 +71,14 @@ class AvOpsSpec extends SparkSpec {
     // the candidate join is banded (equi-join), never an all-pairs video join
     val plan = AvOps.videoNearDup(all).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    // the salt cap is a no-op when no bucket exceeds it, and bounds
+    // boilerplate-frame buckets when one does (cap = 2 on 22 videos where
+    // many share no frames: capped output may lose cross-salt pairs but the
+    // planted identical pair survives its own sub-bucket often enough to be
+    // deterministic here — assert shape, not recall)
+    val capped = AvOps.videoNearDup(all, everyMs = 900L, cap = 10000).collect()
+    assert(capped.map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet ==
+      pairs.map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet)
   }
 
   test("audio features: real math over stub PCM, zero shuffle, sane ranges") {
