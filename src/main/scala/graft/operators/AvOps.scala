@@ -142,10 +142,14 @@ object AvOps {
   def videoNearDup(videos: Dataset[VideoRow], everyMs: Long = 1000L,
       tol: Int = 4, minFrac: Double = 0.5, cap: Int = 1024): DataFrame = {
     import videos.sparkSession.implicits._
+    // persist: the per-frame decode+phash pipeline feeds 4 DAG branches
+    // (histogram, self-join sides, two verify sides) — the Dedup.minhashLsh
+    // cache pattern: materialize once, release after the pair-sized result
     val hashes = sampleFrames(videos, everyMs)
       .map(f => (f.video_id, f.frame_idx,
         PngCodec.lumaHash(f.frame_png)._3))
       .toDF("video_id", "frame_idx", "phash")
+      .persist()
     val sizes = hashes.groupBy(col("frame_idx"), col("phash")).count()
     val salted = hashes.join(sizes, Seq("frame_idx", "phash"))
       .withColumn("nsub",
@@ -160,16 +164,30 @@ object AvOps {
       .filter(col("vid1") < col("vid2"))
       .select(col("vid1"), col("vid2")).distinct()
     // verify candidates over their aligned frames: one equi-join per side,
-    // hamming via bit_count(xor) — codegen'd, no UDF
+    // hamming via bit_count(xor) — codegen'd, no UDF. The denominator is the
+    // LONGER video's frame count (not the lattice intersection): a 1-frame
+    // clip colliding with one boilerplate frame of a 10-frame video scores
+    // 0.1, not 1.0
     val h1 = hashes.select(col("video_id").as("vid1"),
       col("frame_idx"), col("phash").as("p1"))
     val h2 = hashes.select(col("video_id").as("vid2"),
       col("frame_idx"), col("phash").as("p2"))
-    cand.join(h1, Seq("vid1")).join(h2, Seq("vid2", "frame_idx"))
+    val counts = hashes.groupBy(col("video_id")).agg(count(lit(1)).as("nf"))
+    val matched = cand.join(h1, Seq("vid1")).join(h2, Seq("vid2", "frame_idx"))
       .groupBy(col("vid1"), col("vid2"))
-      .agg(round(avg(when(bit_count(col("p1").bitwiseXOR(col("p2"))) <= tol, 1.0)
-        .otherwise(0.0)), 4).as("match_frac"))
+      .agg(sum(when(bit_count(col("p1").bitwiseXOR(col("p2"))) <= tol, 1L)
+        .otherwise(0L)).as("nmatch"))
+    val result = matched
+      .join(counts.select(col("video_id").as("vid1"), col("nf").as("nf1")), Seq("vid1"))
+      .join(counts.select(col("video_id").as("vid2"), col("nf").as("nf2")), Seq("vid2"))
+      .select(col("vid1"), col("vid2"),
+        round(col("nmatch").cast("double") /
+          greatest(col("nf1"), col("nf2")), 4).as("match_frac"))
       .filter(col("match_frac") >= minFrac)
+      .persist()
+    result.count()
+    hashes.unpersist()
+    result
   }
 
   /** Audio feature extraction: duration, RMS, zero-crossing rate, peak —

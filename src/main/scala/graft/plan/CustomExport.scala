@@ -80,7 +80,9 @@ object CustomExport {
     case "shp" =>
       Some(graft.sinks.Shapefile.write(df, s"$dir/shp").values.map(_.toLong).sum)
     case "kml" =>
-      Some(graft.sinks.Sinks.kmlDistributed(df, dir))
+      // namespaced like every other format: resumable state + output live
+      // under $dir/kml, never in the shared category root
+      Some(graft.sinks.Sinks.kmlDistributed(df, s"$dir/kml"))
     // the distributed resumable writers ARE the default matrix paths (spec
     // proves byte-identity with the driver-streamed variants)
     case "fgb" =>

@@ -71,10 +71,18 @@ object Sinks {
     flat.write.mode(SaveMode.Overwrite).option("header", "true").csv(outDir)
   }
 
+  /** Minimal RFC-4180 field quoting for the driver-written header (data
+    * rows are quoted by `to_csv` in the plan). */
+  private def csvQuote(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
   /** S5 — ONE CSV file (the reference's csv export is a single file):
     * rows serialize in the PLAN via `to_csv` (codegen'd quoting/escaping)
-    * into committed lineage parts; the driver writes header + parts.
-    * Returns the row count. */
+    * into committed BYTE parts — raw byte concat on reassembly, so quoted
+    * values containing newlines survive exactly (a line-oriented protocol
+    * would mangle them). Driver writes header + parts. Returns row count. */
   def csvSingle(extract: DataFrame, outDir: String): Long = {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -87,23 +95,18 @@ object Sinks {
     }
     val lines = flat.select(
       to_csv(struct(flat.columns.map(col).toIndexedSeq: _*)).as("line"))
-    Lineage.exportResumable(lines, outDir)
+    Lineage.exportResumableBytes(lines, outDir,
+      r => (r.getString(0) + "\n").getBytes(StandardCharsets.UTF_8),
+      ext = "csvpart")
     val n = Lineage.finish(extract.sparkSession, outDir)
       .agg(coalesce(sum("rowCount"), lit(0L))).collect().head.getLong(0)
     val tmp = Paths.get(outDir, "export.csv.tmp")
-    val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+    val w = new java.io.BufferedOutputStream(Files.newOutputStream(tmp))
     try {
-      w.write(flat.columns.mkString(","))
-      w.write("\n")
-      Lineage.committedPartFiles(outDir, "jsonl").foreach { p =>
-        val r = Files.newBufferedReader(p, StandardCharsets.UTF_8)
-        try {
-          var line = r.readLine()
-          while (line != null) {
-            if (line.nonEmpty) { w.write(line); w.write("\n") }
-            line = r.readLine()
-          }
-        } finally r.close()
+      w.write((flat.columns.map(csvQuote).mkString(",") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+      Lineage.committedPartFiles(outDir, "csvpart").foreach { p =>
+        Files.copy(p, w); ()
       }
     } finally w.close()
     Files.move(tmp, Paths.get(outDir, "export.csv"),
@@ -214,25 +217,23 @@ object Sinks {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val lines = extract.select(kmlPlacemarkCol(extract).as("line"))
-    Lineage.exportResumable(lines, outDir)
+    // BYTE parts + raw concat: placemarks need no separators, and any
+    // newline inside a <name> survives byte-exactly (a line protocol would
+    // silently delete it)
+    Lineage.exportResumableBytes(lines, outDir,
+      r => r.getString(0).getBytes(StandardCharsets.UTF_8), ext = "kmlpart")
     val n = Lineage.finish(extract.sparkSession, outDir)
       .agg(coalesce(sum("rowCount"), lit(0L))).collect().head.getLong(0)
     val tmp = Paths.get(outDir, "export.kml.tmp")
-    val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+    val w = new java.io.BufferedOutputStream(Files.newOutputStream(tmp))
     try {
-      w.write("""<?xml version="1.0" encoding="UTF-8"?>""")
-      w.write("""<kml xmlns="http://www.opengis.net/kml/2.2"><Document>""")
-      Lineage.committedPartFiles(outDir, "jsonl").foreach { p =>
-        val r = Files.newBufferedReader(p, StandardCharsets.UTF_8)
-        try {
-          var line = r.readLine()
-          while (line != null) {
-            if (line.nonEmpty) w.write(line)
-            line = r.readLine()
-          }
-        } finally r.close()
+      w.write(("""<?xml version="1.0" encoding="UTF-8"?>""" +
+        """<kml xmlns="http://www.opengis.net/kml/2.2"><Document>""")
+        .getBytes(StandardCharsets.UTF_8))
+      Lineage.committedPartFiles(outDir, "kmlpart").foreach { p =>
+        Files.copy(p, w); ()
       }
-      w.write("</Document></kml>")
+      w.write("</Document></kml>".getBytes(StandardCharsets.UTF_8))
     } finally w.close()
     Files.move(tmp, Paths.get(outDir, "export.kml"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)

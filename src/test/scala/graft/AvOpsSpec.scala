@@ -71,14 +71,25 @@ class AvOpsSpec extends SparkSpec {
     // the candidate join is banded (equi-join), never an all-pairs video join
     val plan = AvOps.videoNearDup(all).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
-    // the salt cap is a no-op when no bucket exceeds it, and bounds
-    // boilerplate-frame buckets when one does (cap = 2 on 22 videos where
-    // many share no frames: capped output may lose cross-salt pairs but the
-    // planted identical pair survives its own sub-bucket often enough to be
-    // deterministic here — assert shape, not recall)
+    // the salt cap is a no-op when no bucket exceeds it
     val capped = AvOps.videoNearDup(all, everyMs = 900L, cap = 10000).collect()
     assert(capped.map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet ==
       pairs.map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet)
+  }
+
+  test("video near-dup salt cap bounds a boilerplate-frame hot bucket") {
+    // 12 copies of one payload: every frame bucket holds all 12 videos —
+    // cap=3 splits into 4 salt sub-buckets, so the candidate set shrinks from
+    // C(12,2)=66 to within-sub-bucket pairs (nsub>1 path actually executed)
+    val proto = AvOps.videoFixture(spark, 1).collect().head
+    val clones = (0 until 12).map(i => proto.copy(video_id = f"clone$i%02d"))
+    val all = spark.createDataset(clones)(
+      org.apache.spark.sql.Encoders.product[AvOps.VideoRow])
+    val uncapped = AvOps.videoNearDup(all, cap = 1000).count()
+    assert(uncapped == 66, s"12 identical videos → all pairs, got $uncapped")
+    val capped = AvOps.videoNearDup(all, cap = 3).count()
+    assert(capped > 0 && capped < uncapped,
+      s"cap must prune the quadratic bucket: $capped vs $uncapped")
   }
 
   test("audio features: real math over stub PCM, zero shuffle, sane ranges") {

@@ -75,7 +75,7 @@ class CustomExportSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/parquet").count() == n)
     assert(Files.exists(base.resolve("geojson/export.geojson")))
     assert(Files.exists(base.resolve("shp/polygon.shp")))
-    assert(Files.exists(base.resolve("export.kml")))
+    assert(Files.exists(base.resolve("kml/export.kml")))
     assert(Files.exists(base.resolve("export.sql")))
     assert(Files.exists(base.resolve("export.pmtiles")))
     assert(Files.exists(base.resolve("export.mbtiles")))

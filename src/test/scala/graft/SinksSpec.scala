@@ -61,6 +61,18 @@ class SinksSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "parts")))
   }
 
+  test("single-file csv: embedded newlines survive the part protocol byte-exactly") {
+    import spark.implicits._
+    val df = Seq(("a1", "two\n\nblank lines"), ("a2", "plain")).toDF("id", "note")
+    val dir = java.nio.file.Files.createTempDirectory("csvnl").toString
+    assert(Sinks.csvSingle(df, dir) == 2)
+    val back = spark.read.option("header", "true").option("multiLine", "true")
+      .csv(s"$dir/export.csv")
+    assert(back.count() == 2)
+    assert(back.filter(col("note") === "two\n\nblank lines").count() == 1,
+      "quoted multi-line value must round-trip unchanged")
+  }
+
   test("zstd parquet + json sinks roundtrip") {
     val pDir = Files.createTempDirectory("pq").toString
     val jDir = Files.createTempDirectory("js").toString
