@@ -138,7 +138,11 @@ object AvOps {
     * text/embedding LSH joins: buckets above `cap` split into salt
     * sub-buckets so no candidate group is ever quadratic in the corpus; the
     * size histogram joins on the same key as the self-join (exchange
-    * reused). Under-cap buckets are exhaustive. */
+    * reused). Under-cap buckets are exhaustive.
+    *
+    * Cache lifecycle: frame hashes are released before returning; the
+    * (pair-sized) returned frame is the only persisted survivor and its
+    * lifecycle is caller-owned (the minhashLsh/knn convention). */
   def videoNearDup(videos: Dataset[VideoRow], everyMs: Long = 1000L,
       tol: Int = 4, minFrac: Double = 0.5, cap: Int = 1024): DataFrame = {
     import videos.sparkSession.implicits._
