@@ -28,9 +28,15 @@ object MbTiles {
   /** Write a tiled extract (z, tx, ty, feature:string rows); returns the
     * tile count. */
   def write(tiled: DataFrame, path: String, name: String = "export"): Long = {
+    // payload assembly + gzip run map-side (PmTiles parity) — the driver
+    // streams ready-made bytes into the container
+    val gzipU = udf((fc: String) => gzip(
+      ("""{"type":"FeatureCollection","features":[""" + fc + "]}")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     val perTile = tiled
       .groupBy(col("z"), col("tx"), col("ty"))
       .agg(concat_ws(",", sort_array(collect_list(col("feature")))).as("fc"))
+      .select(col("z"), col("tx"), col("ty"), gzipU(col("fc")).as("payload"))
       .orderBy(col("z"), col("tx"), col("ty"))
     Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
     val db = new Sqlite(path)
@@ -45,9 +51,7 @@ object MbTiles {
         if (z < minZ) minZ = z
         if (z > maxZ) maxZ = z
         n += 1
-        val payload = gzip(
-          ("""{"type":"FeatureCollection","features":[""" + r.getString(3) + "]}")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val payload = r.getAs[Array[Byte]](3)
         // TMS row flip (MBTiles spec: row 0 is the southern edge)
         val tmsRow = (1L << z) - 1L - ty
         (n, Seq[Any](z.toLong, tx, tmsRow, payload))

@@ -117,10 +117,17 @@ object PmTiles {
   def write(tiled: DataFrame, path: String): (Long, Long) = {
     // distributed: group features per tile (the only shuffle), then stream
     // tiles to the single archive in Hilbert order
+    // per-tile payload ASSEMBLY AND GZIP run in the executors (map step after
+    // the per-tile agg); the driver only streams ready-made bytes — tile
+    // compression is the dominant cost and must live where the data lives
+    val gzipU = udf((fc: String) => gzip(
+      ("""{"type":"FeatureCollection","features":[""" + fc + "]}")
+        .getBytes(StandardCharsets.UTF_8)))
     val perTile = tiled
       .withColumn("tile_id", udf(tileId _).apply(col("z"), col("tx"), col("ty")))
       .groupBy(col("tile_id"), col("z"))
       .agg(concat_ws(",", sort_array(collect_list(col("feature")))).as("fc"))
+      .select(col("tile_id"), col("z"), gzipU(col("fc")).as("payload"))
       .orderBy(col("tile_id"))
     val out = Paths.get(path)
     Files.createDirectories(out.getParent)
@@ -135,9 +142,7 @@ object PmTiles {
     try {
       while (it.hasNext) {
         val r = it.next()
-        val payload = gzip(
-          ("""{"type":"FeatureCollection","features":[""" + r.getString(2) + "]}")
-            .getBytes(StandardCharsets.UTF_8))
+        val payload = r.getAs[Array[Byte]](2)
         dataOut.write(payload)
         entries += Entry(r.getLong(0), dataLen, payload.length)
         dataLen += payload.length
