@@ -173,26 +173,23 @@ object Shapefile {
     * record count. */
   def write(df0: DataFrame, dir: String): Map[String, Int] = {
     Files.createDirectories(Paths.get(dir))
-    // `kind` on raw feature tables, `osm_type` on build() outputs
-    val df = if (df0.columns.contains("kind")) df0
-      else df0.withColumn("kind", df0.col("osm_type"))
-    val geomCols = Set("kind", "lon", "lat", "cell") ++
-      (0 to 3).flatMap(i => Seq(s"x$i", s"y$i"))
-    val attrCols = df.columns.filterNot(geomCols).toSeq
+    val df = FeatureModel.withKind(df0)
+    val attrCols = df.columns.filterNot(FeatureModel.geomCols).toSeq
     val idx = df.columns.zipWithIndex.toMap
-    // centroid/csv-shaped extracts drop the vertex columns — fall back to
-    // point geometry (as the KML sink does) instead of an opaque lookup error
+    // centroid/csv-shaped extracts drop the vertex columns — the shared
+    // reader falls back to point geometry instead of an opaque lookup error
     val haveVerts = df.columns.contains("x0")
-    def d(r: Row, c: String): Double = r.getDouble(idx(c))
-    def geometry(kind0: String, r: Row): Seq[(Double, Double)] = (
-      if (haveVerts) kind0 else "point") match {
-      case "point" => Seq((d(r, "lon"), d(r, "lat")))
-      case "line" => (0 to 2).map(i => (d(r, s"x$i"), d(r, s"y$i")))
-      case _ =>
-        // closed ring, rewound clockwise (our quad is ccw; the spec requires
-        // cw outer rings)
-        val ccw = (0 to 3).map(i => (d(r, s"x$i"), d(r, s"y$i")))
+    val geomOf = FeatureModel.geomReader(df.columns.toIndexedSeq)
+    require(geomOf.isDefined,
+      s"shapefile export needs lon/lat anchor columns; got ${df.columns.mkString(",")}")
+    val g = geomOf.get
+    def geometry(r: Row): Seq[(Double, Double)] = g(r) match {
+      case FeatureModel.Geom(3, pts) =>
+        // shared model gives the closed ccw quad; the shapefile spec
+        // requires cw outer rings — rewind
+        val ccw = pts.init
         (ccw.head +: ccw.tail.reverse) :+ ccw.head
+      case FeatureModel.Geom(_, pts) => pts
     }
     Seq("point", "line", "polygon").map { kind =>
       val it = df.filter(df.col("kind") === kind).toLocalIterator()
@@ -200,7 +197,7 @@ object Shapefile {
         def hasNext: Boolean = it.hasNext
         def next(): (Seq[(Double, Double)], Seq[String]) = {
           val r = it.next()
-          (geometry(kind, r),
+          (geometry(r),
             attrCols.map(c => Option(r.get(idx(c))).map(_.toString).orNull))
         }
       }

@@ -34,6 +34,10 @@ final class Sqlite(path: String, pageSize: Int = 4096) {
   // ---- low-level helpers -----------------------------------------------------
 
   private def varint(v0: Long): Array[Byte] = {
+    // ≥2^56 needs SQLite's 9-byte form whose LAST byte carries 8 bits — a
+    // different shape than the 7-bit groups below. Unreachable here (rowids
+    // and record/serial lengths are far smaller); guard it explicitly.
+    require(v0 >= 0 && v0 < (1L << 56), s"varint out of supported range: $v0")
     var v = v0
     if (v >= 0 && v <= 0x7f) Array(v.toByte)
     else {
