@@ -187,6 +187,21 @@ class SqliteSinksSpec extends SparkSpec {
     }
   }
 
+  test("gpkg stores map attributes as JSON and accepts build() outputs (osm_type)") {
+    import spark.implicits._
+    val df = Seq(("i1", "point", Map("parity" -> "3"), 1.0, 2.0))
+      .toDF("image_id", "osm_type", "tags", "lon", "lat")
+    val path = Files.createTempDirectory("gpkm").resolve("m.gpkg").toString
+    assert(Gpkg.write(df, path) == 1)
+    val db = new Db(path)
+    val rows = db.readTable(db.catalog("export")._1)
+    assert(rows.size == 1)
+    val vals = rows.head._2
+    assert(vals.contains("""{"parity":"3"}"""),
+      s"map attr must store as JSON text, got $vals")
+    assert(vals.contains("point"), "osm_type rides along as an attribute")
+  }
+
   test("sqlite writer handles multi-level trees and overflow payloads") {
     import spark.implicits._
     val big = "x" * 9000 // forces a 3-page overflow chain at 4 KB pages
