@@ -24,13 +24,22 @@ object SparkEntry {
 
   /** Flagship: custom-polygon extract + region assignment + tile pyramid on
     * sf0.001 (the reference's POST /v1/snapshot/ shape, SURVEY.md §3.1). */
-  def entry(spark: SparkSession): DataFrame = {
-    val p = pts(spark,
+  def entry(spark: SparkSession): DataFrame =
+    flagshipEntry(spark,
       sys.env.getOrElse("SPARK_GRAFT_ENTRY_DIR", "/root/testdata/sf0.001"))
+
+  /** The fused flagship plan (Bench.flagship shape): extract → region
+    * assignment carrying lon/lat through the aggregation → tile explode on
+    * the SAME pipeline. One scan, one shuffle — the assignment agg reuses the
+    * derived table's pid partitioning, and the tile explode is narrow; the
+    * former two-branch join-back plan scanned the extract twice and shuffled
+    * the ×5-exploded tile side. */
+  def flagshipEntry(spark: SparkSession, dir: String): DataFrame = {
+    val p = pts(spark, dir)
       .filter(GeoCols.pipCol(Fixtures.requestPolygon, col("lon"), col("lat")))
-    val assigned = SpatialJoin.assignRegions(spark, p)
-    SpatialJoin.tileAssign(p, 2, 6)
-      .join(assigned, Seq("pid"))
+    val assigned = SpatialJoin.assignRegionsKeep(spark, p, keep = Seq("lon", "lat"))
+    SpatialJoin.tileAssign(assigned, 2, 6)
+      .select(col("pid"), col("cids"), col("z"), col("tx"), col("ty"))
   }
 
   // ---- query implementations -------------------------------------------
@@ -364,6 +373,9 @@ object SparkEntry {
     // fixture output ≡ the fixed-plane oracle
     "embed_neardup_lsh" -> ((s, d) => Similarity.nearDupLshAuto(
       s.read.parquet(s"$d/embeddings.parquet"), tau = 0.3)),
+    // the flagship pipeline itself, gated end-to-end (extract → assign →
+    // tile) — entry() and Bench.flagship carry this exact plan shape
+    "flagship_entry" -> ((s, d) => flagshipEntry(s, d)),
     "q1_agg" -> ((s, d) => q1Agg(s, d)),
     "q3_join" -> ((s, d) => q3Join(s, d)),
     "geo_bbox" -> ((s, d) => geoBbox(s, d)),
@@ -471,6 +483,25 @@ object SparkEntry {
     "ann_cosine" -> Similarity.annBruteSql(),
     "ann_ivf" -> Similarity.annIvfSql(),
     "embed_neardup_lsh" -> Similarity.nearDupLshSql(tau = 0.3),
+    "flagship_entry" -> {
+      val pip = GeoCols.pipSql(Fixtures.requestPolygon, "lon", "lat")
+      val branches = Fixtures.regions.map { r =>
+        s"SELECT pid, ${r.cid} AS cid FROM fp WHERE ${GeoCols.pipSql(r.poly, "lon", "lat")}"
+      }.mkString(" UNION ALL ")
+      val tiles = (2 to 6).map { z =>
+        s"SELECT pid, $z AS z, ${GeoCols.tileXSql(z, "lon")} AS tx, ${GeoCols.tileYSql(z, "lat")} AS ty FROM fp"
+      }.mkString(" UNION ALL ")
+      s"""WITH pts AS ($P),
+         |fp AS (SELECT pid, lon, lat FROM pts WHERE $pip),
+         |m AS ($branches),
+         |agg AS (SELECT pid, array_to_string(list_sort(list_distinct(array_agg(cid))), ',') AS c
+         |        FROM m GROUP BY pid),
+         |a AS (SELECT fp.pid AS pid, COALESCE(agg.c, '0') AS cids
+         |      FROM fp LEFT JOIN agg ON fp.pid = agg.pid),
+         |t AS ($tiles)
+         |SELECT t.pid AS pid, a.cids AS cids, t.z AS z, t.tx AS tx, t.ty AS ty
+         |FROM t JOIN a ON t.pid = a.pid""".stripMargin
+    },
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -125,6 +125,14 @@ object Shapefile {
     }
   }
 
+  /** WGS84 `.prj` sidecar (ESRI WKT, what ogr2ogr writes for EPSG:4326 —
+    * the reference's shapefile path, src/app.py:483-547). Without it every
+    * GIS tool prompts "unknown CRS" on open. */
+  val Wgs84Wkt: String =
+    "GEOGCS[\"GCS_WGS_1984\",DATUM[\"D_WGS_1984\"," +
+      "SPHEROID[\"WGS_1984\",6378137.0,298.257223563]]," +
+      "PRIMEM[\"Greenwich\",0.0],UNIT[\"Degree\",0.0174532925199433]]"
+
   private def kindShapeType(kind: String): Int = kind match {
     case "point" => 1
     case "line" => 3
@@ -164,14 +172,17 @@ object Shapefile {
     }
     shp.close(); shx.close()
     dbf.close()
+    Files.write(Paths.get(s"$base.prj"),
+      Wgs84Wkt.getBytes(StandardCharsets.US_ASCII))
     recNo
   }
 
   /** Export a feature DataFrame (kind, lon, lat, x0..y3, + attribute
     * columns) as per-kind shapefile triples under `dir`. Attribute columns =
-    * everything except the geometry columns, stringified. Returns kind →
-    * record count. */
-  def write(df0: DataFrame, dir: String): Map[String, Int] = {
+    * everything except the geometry columns, stringified. `prefix` gives the
+    * reference's GIS-convention names (`{name}_point.shp` etc.,
+    * src/app.py:483-547). Returns kind → record count. */
+  def write(df0: DataFrame, dir: String, prefix: String = ""): Map[String, Int] = {
     Files.createDirectories(Paths.get(dir))
     val df = FeatureModel.withKind(df0)
     val attrCols = df.columns.filterNot(FeatureModel.geomCols).toSeq
@@ -201,7 +212,7 @@ object Shapefile {
             attrCols.map(c => Option(r.get(idx(c))).map(_.toString).orNull))
         }
       }
-      kind -> writeTriple(s"$dir/$kind", if (haveVerts) kind else "point",
+      kind -> writeTriple(s"$dir/$prefix$kind", if (haveVerts) kind else "point",
         attrCols, rows)
     }.toMap
   }

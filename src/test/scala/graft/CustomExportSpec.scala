@@ -74,7 +74,10 @@ class CustomExportSpec extends SparkSpec {
     val base = java.nio.file.Paths.get(s"$outDir/buildings")
     assert(spark.read.parquet(s"$base/parquet").count() == n)
     assert(Files.exists(base.resolve("geojson/export.geojson")))
-    assert(Files.exists(base.resolve("shp/polygon.shp")))
+    // GIS-convention triple names ({name}_{kind}.shp, reference parity) +
+    // the WGS84 .prj sidecar
+    assert(Files.exists(base.resolve("shp/buildings_polygon.shp")))
+    assert(Files.exists(base.resolve("shp/buildings_polygon.prj")))
     assert(Files.exists(base.resolve("kml/export.kml")))
     assert(Files.exists(base.resolve("export.sql")))
     assert(Files.exists(base.resolve("export.pmtiles")))

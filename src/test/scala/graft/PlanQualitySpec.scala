@@ -170,6 +170,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(a.sameElements(b), "salted shuffle variant diverged from broadcast")
   }
 
+  test("fused flagship entry(): one exchange, no join-back of the tile explode") {
+    // the r3 plan joined tileAssign(p) back to assignRegions(p) on pid —
+    // two scans of the extract plus a shuffle join of the ×5-exploded tile
+    // side; the fused plan carries lon/lat through the assignment agg and
+    // explodes on its output
+    val df = SparkEntry.flagshipEntry(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "cover join must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"tile explode must not be joined back on pid:\n${plan.take(3000)}")
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    assert(exchanges == 1,
+      s"fused flagship must have exactly one shuffle, found $exchanges:\n${plan.take(3000)}")
+    assert(df.limit(1).count() == 1)
+  }
+
   test("equi-join with a catalog-sized dim side broadcasts") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")

@@ -73,6 +73,13 @@ class ShapefileSpec extends SparkSpec {
       assert(parseDbfCount(s"$dir/$kind.dbf") == expectRows.length)
       // shx frames every record
       assert((Files.size(Paths.get(s"$dir/$kind.shx")) - 100) / 8 == expectRows.length)
+      // .prj sidecar: well-formed WGS84 ESRI WKT (balanced brackets, the
+      // datum + unit every GIS tool needs to skip the "unknown CRS" prompt)
+      val prj = new String(Files.readAllBytes(Paths.get(s"$dir/$kind.prj")), "US-ASCII")
+      assert(prj.startsWith("GEOGCS[\"GCS_WGS_1984\""))
+      assert(prj.contains("SPHEROID[\"WGS_1984\",6378137.0,298.257223563]"))
+      assert(prj.contains("UNIT[\"Degree\",0.0174532925199433]"))
+      assert(prj.count(_ == '[') == prj.count(_ == ']'))
       // coordinate content: every written point appears within the bbox
       val flat = recs.flatten
       assert(flat.forall { case (x, y) =>
