@@ -92,13 +92,15 @@ object CustomExport {
       Some(graft.sinks.PgDump.writeDistributed(df, s"$dir/export.sql", table))
     case "gpkg" =>
       Some(graft.sinks.Gpkg.write(df, s"$dir/export.gpkg", table))
+    // tile payloads are gzip MVT (tippecanoe output parity): PMTiles
+    // tile_type 1, MBTiles format=pbf + vector_layers metadata
     case "pmtiles" =>
-      val (tiles, _) = graft.sinks.PmTiles.write(
-        tiledFeatures(df, pmTilesZooms), s"$dir/export.pmtiles")
+      val (tiles, _) = graft.sinks.PmTiles.writeMvt(
+        df, s"$dir/export.pmtiles", pmTilesZooms, table)
       Some(tiles)
     case "mbtiles" =>
-      Some(graft.sinks.MbTiles.write(
-        tiledFeatures(df, pmTilesZooms), s"$dir/export.mbtiles", table))
+      Some(graft.sinks.MbTiles.writeMvt(
+        df, s"$dir/export.mbtiles", pmTilesZooms, table))
     case f => throw new IllegalArgumentException(s"unknown format $f")
   }
 
@@ -153,12 +155,18 @@ object CustomExport {
           if (tileFmts.size == 1)
             Seq(tileFmts.head -> writeFormat(df, tileFmts.head, catDir, c.name))
           else {
-            val tiled = tiledFeatures(df, (2, 6)).persist()
+            // one MVT payload pipeline (tileAssign shuffle + protobuf encode
+            // + gzip) feeds BOTH archive containers
+            val payloads = graft.sinks.Mvt.tilePayloads(df, (2, 6), c.name).persist()
             try {
-              val pm = graft.sinks.PmTiles.write(tiled, s"$catDir/export.pmtiles")._1
-              val mb = graft.sinks.MbTiles.write(tiled, s"$catDir/export.mbtiles", c.name)
+              val pm = graft.sinks.PmTiles.writePayloads(
+                payloads, s"$catDir/export.pmtiles", tileType = 1)._1
+              val mb = graft.sinks.MbTiles.writePayloads(
+                payloads, s"$catDir/export.mbtiles", c.name, format = "pbf",
+                extraMeta = Seq("json" ->
+                  graft.sinks.MbTiles.vectorLayersJson(df, (2, 6), c.name)))
               Seq("pmtiles" -> Some(pm), "mbtiles" -> Some(mb))
-            } finally { tiled.unpersist(); () }
+            } finally { payloads.unpersist(); () }
           }
         })
       // pmtiles/mbtiles tile counts ≠ extract row counts — never used as `n`

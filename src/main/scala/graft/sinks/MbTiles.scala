@@ -25,8 +25,28 @@ object MbTiles {
     bos.toByteArray
   }
 
-  /** Write a tiled extract (z, tx, ty, feature:string rows); returns the
-    * tile count. */
+  /** The reference-parity sink: feature DataFrame → gzip MVT payloads
+    * ([[Mvt]]) → MBTiles with `format=pbf` and the spec-required `json`
+    * metadata row describing the vector layer — what tippecanoe's mbtiles
+    * output carries (src/app.py:592-603). Returns the tile count. */
+  def writeMvt(features: DataFrame, path: String, zooms: (Int, Int),
+      name: String): Long =
+    writePayloads(Mvt.tilePayloads(features, zooms, name), path, name,
+      format = "pbf",
+      extraMeta = Seq("json" -> vectorLayersJson(features, zooms, name)))
+
+  /** MBTiles 1.3 `json` metadata (required when format=pbf): the vector
+    * layer inventory tile readers use for styling. */
+  def vectorLayersJson(features: DataFrame, zooms: (Int, Int), name: String): String = {
+    val attrCols = FeatureModel.prepare(features).columns
+      .filterNot(FeatureModel.geomCols)
+    val fields = attrCols.map(c => s""""$c":"String"""").mkString(",")
+    s"""{"vector_layers":[{"id":"$name","minzoom":${zooms._1},"maxzoom":${zooms._2},"fields":{$fields}}]}"""
+  }
+
+  /** Legacy GeoJSON-payload variant (kept for the payload-agnostic container
+    * tests; `format=json` is OUTSIDE the MBTiles 1.3 allowed set — a
+    * stand-in, documented in COVERAGE.md; [[writeMvt]] is the matrix path). */
   def write(tiled: DataFrame, path: String, name: String = "export"): Long = {
     // payload assembly + gzip run map-side (PmTiles parity) — the driver
     // streams ready-made bytes into the container
@@ -37,7 +57,13 @@ object MbTiles {
       .groupBy(col("z"), col("tx"), col("ty"))
       .agg(concat_ws(",", sort_array(collect_list(col("feature")))).as("fc"))
       .select(col("z"), col("tx"), col("ty"), gzipU(col("fc")).as("payload"))
-      .orderBy(col("z"), col("tx"), col("ty"))
+    writePayloads(perTile, path, name, format = "json", extraMeta = Nil)
+  }
+
+  /** Shared container assembly over ready-made (z, tx, ty, payload) rows. */
+  def writePayloads(perTile0: DataFrame, path: String, name: String,
+      format: String, extraMeta: Seq[(String, String)]): Long = {
+    val perTile = perTile0.orderBy(col("z"), col("tx"), col("ty"))
     Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
     val db = new Sqlite(path)
     var minZ = Int.MaxValue; var maxZ = 0
@@ -62,12 +88,12 @@ object MbTiles {
       rows)
     val meta = Seq(
       "name" -> name,
-      "format" -> "json",
+      "format" -> format,
       "minzoom" -> (if (n == 0) "0" else minZ.toString),
       "maxzoom" -> (if (n == 0) "0" else maxZ.toString),
       "bounds" -> "-180.0,-85.0,180.0,85.0",
       "type" -> "overlay",
-      "version" -> "1")
+      "version" -> "1") ++ extraMeta
     db.writeTable("metadata",
       "CREATE TABLE metadata (name TEXT, value TEXT)",
       meta.zipWithIndex.iterator.map { case ((k, v), i) =>

@@ -87,10 +87,10 @@ object PmTiles {
     bos.toByteArray
   }
 
-  /** 127-byte v3 header. */
+  /** 127-byte v3 header. `tileType`: 1 = MVT, 0 = unspecified payloads. */
   private def header(rootOff: Long, rootLen: Long, metaOff: Long, metaLen: Long,
       dataOff: Long, dataLen: Long, nTiles: Long, nEntries: Long,
-      minZ: Int, maxZ: Int): Array[Byte] = {
+      minZ: Int, maxZ: Int, tileType: Byte): Array[Byte] = {
     val b = ByteBuffer.allocate(127).order(ByteOrder.LITTLE_ENDIAN)
     b.put("PMTiles".getBytes(StandardCharsets.US_ASCII)).put(3.toByte)
     b.putLong(rootOff).putLong(rootLen)
@@ -102,7 +102,7 @@ object PmTiles {
     b.putLong(nTiles) // tile contents (no dedupe)
     b.put(1.toByte) // clustered: tile ids written ascending
     b.put(2.toByte).put(2.toByte) // internal compression gzip, tile compression gzip
-    b.put(0.toByte) // tile type: unknown (GeoJSON payloads)
+    b.put(tileType)
     b.put(minZ.toByte).put(maxZ.toByte)
     // bounds E7: world
     b.putInt(-1800000000).putInt(-850000000).putInt(1800000000).putInt(850000000)
@@ -111,12 +111,18 @@ object PmTiles {
     b.array()
   }
 
-  /** Write a tiled extract (z, tx, ty, feature:string rows) as one PMTiles
-    * archive; one gzip FeatureCollection payload per tile, Hilbert-ordered.
-    * Returns (tiles written, archive bytes). */
+  /** The reference-parity sink: feature DataFrame → MVT payloads ([[Mvt]]) →
+    * PMTiles archive with tile_type 1, the same content tippecanoe emits
+    * (src/app.py:690-698). Returns (tiles written, archive bytes). */
+  def writeMvt(features: DataFrame, path: String, zooms: (Int, Int),
+      layerName: String): (Long, Long) =
+    writePayloads(Mvt.tilePayloads(features, zooms, layerName), path,
+      tileType = 1)
+
+  /** Legacy GeoJSON-payload variant (tile_type 0; kept for the payload-
+    * agnostic archive tests): tiled (z, tx, ty, feature:string) rows, one
+    * gzip FeatureCollection per tile. */
   def write(tiled: DataFrame, path: String): (Long, Long) = {
-    // distributed: group features per tile (the only shuffle), then stream
-    // tiles to the single archive in Hilbert order
     // per-tile payload ASSEMBLY AND GZIP run in the executors (map step after
     // the per-tile agg); the driver only streams ready-made bytes — tile
     // compression is the dominant cost and must live where the data lives
@@ -124,10 +130,19 @@ object PmTiles {
       ("""{"type":"FeatureCollection","features":[""" + fc + "]}")
         .getBytes(StandardCharsets.UTF_8)))
     val perTile = tiled
-      .withColumn("tile_id", udf(tileId _).apply(col("z"), col("tx"), col("ty")))
-      .groupBy(col("tile_id"), col("z"))
+      .groupBy(col("z"), col("tx"), col("ty"))
       .agg(concat_ws(",", sort_array(collect_list(col("feature")))).as("fc"))
-      .select(col("tile_id"), col("z"), gzipU(col("fc")).as("payload"))
+      .select(col("z"), col("tx"), col("ty"), gzipU(col("fc")).as("payload"))
+    writePayloads(perTile, path, tileType = 0)
+  }
+
+  /** Shared archive assembly over ready-made (z, tx, ty, payload) rows:
+    * group-per-tile already done, payloads already compressed — the driver
+    * streams bytes in Hilbert order and keeps only 16 B/tile of directory. */
+  def writePayloads(perTile0: DataFrame, path: String, tileType: Byte): (Long, Long) = {
+    val perTile = perTile0
+      .withColumn("tile_id", udf(tileId _).apply(col("z"), col("tx"), col("ty")))
+      .select(col("tile_id"), col("z"), col("payload"))
       .orderBy(col("tile_id"))
     val out = Paths.get(path)
     Files.createDirectories(out.getParent)
@@ -157,7 +172,8 @@ object PmTiles {
     val dataOff = metaOff + meta.length
     val hdr = header(rootOff, root.length, metaOff, meta.length,
       dataOff, dataLen, entries.size, entries.size,
-      if (entries.isEmpty) 0 else minZ, if (entries.isEmpty) 0 else maxZ)
+      if (entries.isEmpty) 0 else minZ, if (entries.isEmpty) 0 else maxZ,
+      tileType)
     val os = Files.newOutputStream(out)
     try {
       os.write(hdr); os.write(root); os.write(meta)

@@ -251,6 +251,26 @@ class SqliteSinksSpec extends SparkSpec {
     assert(got.head._2 == Seq("v1", 7L))
   }
 
+  test("mbtiles MVT path: format=pbf, vector_layers metadata, payloads decode") {
+    val path = Files.createTempDirectory("mbtm").resolve("export.mbtiles").toString
+    val nTiles = MbTiles.writeMvt(feats, path, (2, 3), "export")
+    assert(nTiles > 0)
+    val db = new Db(path)
+    val meta = db.readTable(db.catalog("metadata")._1)
+      .map(r => r._2.head.asInstanceOf[String] -> r._2(1).asInstanceOf[String]).toMap
+    assert(meta("format") == "pbf", "MBTiles 1.3: vector tiles declare pbf")
+    assert(meta("json").contains(""""vector_layers""""))
+    assert(meta("json").contains(""""id":"export""""))
+    val tiles = db.readTable(db.catalog("tiles")._1)
+    assert(tiles.size.toLong == nTiles)
+    tiles.foreach { case (_, vals) =>
+      val layers = MvtDecode.decodeTile(
+        MvtDecode.gunzip(vals(3).asInstanceOf[Array[Byte]]))
+      assert(layers.size == 1 && layers.head.name == "export")
+      assert(layers.head.version == 2 && layers.head.features.nonEmpty)
+    }
+  }
+
   test("mbtiles container: tiles + metadata, TMS row flip, gzip payloads") {
     val tiled = graft.operators.SpatialJoin.tileAssign(
       feats.select(col("lon"), col("lat"),
