@@ -34,6 +34,43 @@ object Lineage {
     try s.iterator().asScala.toSeq finally s.close()
   }
 
+  /** Identity of a run for resume safety: partition count + input file set +
+    * canonicalized plan hash. Parts are keyed by partition id, so resuming
+    * against a DIFFERENT partitioning (changed maxPartitionBytes, AQE
+    * re-plan, a grown staging table) would silently pair old parts with new
+    * partition ids — wrong output with "committed" status. The run manifest
+    * refuses that: a fingerprint mismatch discards all stale parts and
+    * restarts clean. */
+  def runFingerprint(df: DataFrame): String = {
+    val n = df.rdd.getNumPartitions
+    val h = java.security.MessageDigest.getInstance("MD5")
+    h.update(df.queryExecution.analyzed.semanticHash().toString
+      .getBytes(StandardCharsets.UTF_8))
+    h.update(df.inputFiles.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    s"$n-${h.digest().map("%02x".format(_)).mkString}"
+  }
+
+  /** Create parts/, validate the run manifest, and discard stale parts from
+    * a run with a different fingerprint (or from a pre-manifest run — no
+    * provenance means no safe resume). Returns the committed ids to skip. */
+  private def prepareRun(df: DataFrame, outDir: String): Set[Int] = {
+    val d = Paths.get(outDir, "parts")
+    Files.createDirectories(d)
+    val mf = d.resolve("_run.json")
+    val json = s"""{"fingerprint":"${runFingerprint(df)}"}"""
+    val existing =
+      if (Files.exists(mf))
+        Some(new String(Files.readAllBytes(mf), StandardCharsets.UTF_8))
+      else None
+    val stale = existing match {
+      case Some(e) => e != json
+      case None => listDir(d).nonEmpty
+    }
+    if (stale) listDir(d).foreach(Files.delete)
+    Files.write(mf, json.getBytes(StandardCharsets.UTF_8))
+    committedParts(outDir)
+  }
+
   def committedParts(outDir: String): Set[Int] = {
     val d = Paths.get(outDir, "parts")
     if (!Files.exists(d)) Set.empty
@@ -52,16 +89,20 @@ object Lineage {
       outDir: String,
       failAtPartition: Int = -1): Unit = {
     require(lines.schema.fields.length == 1, "expected a single string column")
-    Files.createDirectories(Paths.get(outDir, "parts"))
-    val done = committedParts(outDir)
+    val frame = lines.toDF("line")
+    val done = prepareRun(frame, outDir)
     val doneBc = lines.sparkSession.sparkContext.broadcast(done)
-    lines.toDF("line").foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+    frame.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       if (!doneBc.value.contains(pid)) {
         if (pid == failAtPartition)
           throw new RuntimeException(s"injected fault at partition $pid")
         val t0 = System.currentTimeMillis()
-        val tmp = Paths.get(outDir, "parts", s"p$pid.tmp")
+        // tmp is attempt-keyed: concurrent attempts of one partition
+        // (speculation, zombie task) each stream to their own file; the
+        // atomic rename stays last-wins
+        val attempt = org.apache.spark.TaskContext.get.taskAttemptId()
+        val tmp = Paths.get(outDir, "parts", s"p$pid.a$attempt.tmp")
         val fin = Paths.get(outDir, "parts", s"p$pid.jsonl")
         val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
         var n = 0L
@@ -93,8 +134,7 @@ object Lineage {
       ext: String = "bin",
       failAtPartition: Int = -1,
       coords: Option[org.apache.spark.sql.Row => Iterable[(Double, Double)]] = None): Unit = {
-    Files.createDirectories(Paths.get(outDir, "parts"))
-    val done = committedParts(outDir)
+    val done = prepareRun(df, outDir)
     val doneBc = df.sparkSession.sparkContext.broadcast(done)
     df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -102,7 +142,8 @@ object Lineage {
         if (pid == failAtPartition)
           throw new RuntimeException(s"injected fault at partition $pid")
         val t0 = System.currentTimeMillis()
-        val tmp = Paths.get(outDir, "parts", s"p$pid.tmp")
+        val attempt = org.apache.spark.TaskContext.get.taskAttemptId()
+        val tmp = Paths.get(outDir, "parts", s"p$pid.a$attempt.tmp")
         val fin = Paths.get(outDir, "parts", s"p$pid.$ext")
         val w = new java.io.BufferedOutputStream(Files.newOutputStream(tmp))
         var n = 0L
@@ -141,7 +182,12 @@ object Lineage {
     val d = Paths.get(outDir, "parts")
     if (!Files.exists(d)) Nil
     else listDir(d)
-      .filter(_.getFileName.toString.endsWith(s".$ext"))
+      .filter { p =>
+        val n = p.getFileName.toString
+        // exclude the _run.json manifest and attempt-keyed tmp files
+        n.startsWith("p") && n.endsWith(s".$ext") &&
+          n.stripPrefix("p").stripSuffix(s".$ext").forall(_.isDigit)
+      }
       .sortBy(_.getFileName.toString.stripPrefix("p").stripSuffix(s".$ext").toInt)
   }
 
