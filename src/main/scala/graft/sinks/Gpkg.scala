@@ -55,7 +55,22 @@ object Gpkg {
   private def sqlType(dt: DataType): String = dt match {
     case LongType | IntegerType | ShortType | ByteType | BooleanType => "INTEGER"
     case DoubleType | FloatType => "REAL"
+    case _: DecimalType => "REAL"
     case _ => "TEXT"
+  }
+
+  /** Attribute → SQLite storage class matching the declared column type:
+    * every integral width as INTEGER, every floating/decimal as REAL — a
+    * Float or Short stored as TEXT in a REAL/INTEGER column surprises typed
+    * readers (FlatGeobuf.propBytes routes the same way via Number). */
+  private def typed(v: Any): Any = v match {
+    case null => null
+    case x @ (_: Long | _: Int | _: Double | _: Boolean) => x
+    case x: java.lang.Short => x.longValue()
+    case x: java.lang.Byte => x.longValue()
+    case x: java.lang.Float => x.doubleValue()
+    case x: java.math.BigDecimal => x.doubleValue()
+    case x => x.toString
   }
 
   /** Write the extract as a single-layer GeoPackage; returns the row count.
@@ -96,14 +111,11 @@ object Gpkg {
             gpb(geom.gtype, geom.pts)
           case None => null
         }
-        val attrs = attrFields.map { f =>
-          Option(r.get(idx(f.name))).map {
-            case v @ (_: Long | _: Int | _: Double | _: Boolean) => v
-            case v => v.toString
-          }.orNull
-        }
-        // fid rowid, attr values, geometry blob
-        (n, attrs :+ blob)
+        val attrs = attrFields.map(f => typed(r.get(idx(f.name))))
+        // fid is INTEGER PRIMARY KEY = the rowid: real SQLite stores a NULL
+        // in the record slot and reads the column from the rowid — omitting
+        // the slot would shift every attribute left by one for real clients
+        (n, (null: Any) +: attrs :+ blob)
       }
     }
     db.writeTable(layer, createLayer, rows)
@@ -115,12 +127,14 @@ object Gpkg {
       "CREATE TABLE sqlite_sequence(name,seq)",
       Iterator((1L, Seq[Any](layer, n))))
 
+    // srs_id is INTEGER PRIMARY KEY → it IS the rowid (including the spec-
+    // mandated -1/0 rows); the record slot holds NULL like real SQLite writes
     db.writeTable("gpkg_spatial_ref_sys",
       """CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, description TEXT)""",
       Iterator(
-        (1L, Seq[Any]("Undefined cartesian SRS", -1L, "NONE", -1L, "undefined", null)),
-        (2L, Seq[Any]("Undefined geographic SRS", 0L, "NONE", 0L, "undefined", null)),
-        (3L, Seq[Any]("WGS 84 geodetic", 4326L, "EPSG", 4326L,
+        (-1L, Seq[Any]("Undefined cartesian SRS", null, "NONE", -1L, "undefined", null)),
+        (0L, Seq[Any]("Undefined geographic SRS", null, "NONE", 0L, "undefined", null)),
+        (4326L, Seq[Any]("WGS 84 geodetic", null, "EPSG", 4326L,
           "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]],PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]",
           null))))
 
@@ -132,10 +146,19 @@ object Gpkg {
       """CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL, identifier TEXT UNIQUE, description TEXT DEFAULT '', last_change DATETIME NOT NULL DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')), min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)""",
       Iterator((1L, Seq[Any](layer, "features", layer, "",
         "2026-01-01T00:00:00.000Z", emn, emy, emx, emY, 4326L))))
+    // a TEXT/composite PRIMARY KEY (and UNIQUE) is index-backed in real
+    // SQLite — declaring one without its sqlite_autoindex b-tree makes
+    // PRAGMA integrity_check report the file malformed
+    db.writeIndex("sqlite_autoindex_gpkg_contents_1", "gpkg_contents",
+      Seq(Seq[Any](layer, 1L)))
+    db.writeIndex("sqlite_autoindex_gpkg_contents_2", "gpkg_contents",
+      Seq(Seq[Any](layer, 1L)))
 
     db.writeTable("gpkg_geometry_columns",
       """CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL, CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))""",
       Iterator((1L, Seq[Any](layer, "geom", "GEOMETRY", 4326L, 0L, 0L))))
+    db.writeIndex("sqlite_autoindex_gpkg_geometry_columns_1",
+      "gpkg_geometry_columns", Seq(Seq[Any](layer, "geom", 1L)))
 
     db.finish(applicationId = 0x47504B47) // "GPKG"
     n

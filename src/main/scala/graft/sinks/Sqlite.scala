@@ -25,7 +25,9 @@ final class Sqlite(path: String, pageSize: Int = 4096) {
   private val raf = new RandomAccessFile(path, "rw")
   raf.setLength(0)
   private var nextPage = 2 // page 1 is the sqlite_master root
-  private val master = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
+  // (type, name, tbl_name, rootpage, sql — null for autoindexes)
+  private val master =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Int, String)]
 
   private val Usable = pageSize // no reserved bytes
   private val MaxLeafLocal = Usable - 35
@@ -34,10 +36,17 @@ final class Sqlite(path: String, pageSize: Int = 4096) {
   // ---- low-level helpers -----------------------------------------------------
 
   private def varint(v0: Long): Array[Byte] = {
-    // ≥2^56 needs SQLite's 9-byte form whose LAST byte carries 8 bits — a
-    // different shape than the 7-bit groups below. Unreachable here (rowids
-    // and record/serial lengths are far smaller); guard it explicitly.
-    require(v0 >= 0 && v0 < (1L << 56), s"varint out of supported range: $v0")
+    // negatives and ≥2^56 use SQLite's 9-byte form: 8 continuation bytes of
+    // 7 bits each, then a final byte carrying the LOW 8 bits — needed for
+    // the spec-mandated srs_id -1 rowid in gpkg_spatial_ref_sys
+    if (v0 < 0 || v0 >= (1L << 56)) {
+      val out = new Array[Byte](9)
+      out(8) = (v0 & 0xff).toByte
+      var x = v0 >>> 8
+      var i = 7
+      while (i >= 0) { out(i) = (0x80 | (x & 0x7f)).toByte; x >>>= 7; i -= 1 }
+      return out
+    }
     var v = v0
     if (v >= 0 && v <= 0x7f) Array(v.toByte)
     else {
@@ -134,18 +143,37 @@ final class Sqlite(path: String, pageSize: Int = 4096) {
     buf
   }
 
-  private def serializeInterior(cells: Seq[(Int, Long)], rightmost: Int): Array[Byte] = {
+  private def serializeInterior(cells: Seq[(Int, Long)], rightmost: Int,
+      isPage1: Boolean = false): Array[Byte] = {
     val buf = new Array[Byte](pageSize)
+    val headerBase = if (isPage1) 100 else 0
     val bb = ByteBuffer.wrap(buf)
-    bb.put(0, 0x05.toByte)
-    bb.putShort(3, cells.size.toShort)
-    bb.putInt(8, rightmost)
+    bb.put(headerBase, 0x05.toByte)
+    bb.putShort(headerBase + 3, cells.size.toShort)
+    bb.putInt(headerBase + 8, rightmost)
     var content = pageSize
     cells.zipWithIndex.foreach { case ((child, key), i) =>
       val cell = ByteBuffer.allocate(4).putInt(child).array() ++ varint(key)
       content -= cell.length
       System.arraycopy(cell, 0, buf, content, cell.length)
-      bb.putShort(12 + 2 * i, content.toShort)
+      bb.putShort(headerBase + 12 + 2 * i, content.toShort)
+    }
+    bb.putShort(headerBase + 5, (content & 0xffff).toShort)
+    buf
+  }
+
+  /** Index leaf page (type 0x0a): cells are varint(len) + record only — the
+    * rowid is the LAST column of the index record itself. */
+  private def serializeIndexLeaf(cells: Seq[Array[Byte]]): Array[Byte] = {
+    val buf = new Array[Byte](pageSize)
+    val bb = ByteBuffer.wrap(buf)
+    bb.put(0, 0x0a.toByte)
+    bb.putShort(3, cells.size.toShort)
+    var content = pageSize
+    cells.zipWithIndex.foreach { case (c, i) =>
+      content -= c.length
+      System.arraycopy(c, 0, buf, content, c.length)
+      bb.putShort(8 + 2 * i, content.toShort)
     }
     bb.putShort(5, (content & 0xffff).toShort)
     buf
@@ -226,24 +254,101 @@ final class Sqlite(path: String, pageSize: Int = 4096) {
   }
 
   /** Write a table: `rows` must be sorted by ascending rowid. Registers the
-    * table in sqlite_master. */
+    * table in sqlite_master. For columns declared INTEGER PRIMARY KEY the
+    * caller must pass null in that column's slot and carry the value as the
+    * rowid — real SQLite stores ipk columns ONLY in the rowid. */
   def writeTable(name: String, createSql: String,
       rows: Iterator[(Long, Seq[Any])]): Unit = {
     val root = buildTree(rows.map { case (rid, vs) => (rid, record(vs)) })
-    master += ((name, root, createSql))
+    master += (("table", name, name, root, createSql))
+    ()
+  }
+
+  /** Pre-encoded-record sibling of [[writeTable]] — lets distributed sinks
+    * serialize records map-side and hand the driver (rowid, bytes) pairs. */
+  def writeTableEncoded(name: String, createSql: String,
+      rows: Iterator[(Long, Array[Byte])]): Unit = {
+    val root = buildTree(rows)
+    master += (("table", name, name, root, createSql))
+    ()
+  }
+
+  /** Write an index b-tree (e.g. the sqlite_autoindex backing a TEXT or
+    * composite PRIMARY KEY / UNIQUE constraint — real SQLite refuses a
+    * database that declares one without its index). `keys` must be sorted;
+    * each entry is the indexed column values PLUS the rowid as last column.
+    * Catalog-sized (single leaf); `sql` null registers it as an autoindex. */
+  def writeIndex(name: String, table: String, keys: Seq[Seq[Any]]): Unit = {
+    val cells = keys.map { k =>
+      val rec = record(k)
+      require(rec.length <= MaxLeafLocal,
+        s"index $name record too large for the single-leaf writer")
+      varint(rec.length.toLong) ++ rec
+    }
+    require(cells.map(_.length + 2).sum + 8 <= Usable,
+      s"index $name exceeds one leaf page (${keys.size} entries)")
+    val page = allocPage()
+    writePage(page, serializeIndexLeaf(cells))
+    master += (("index", name, table, page, null))
     ()
   }
 
   /** Emit sqlite_master on page 1 plus the 100-byte header; close the file.
     * `applicationId` is the header word at offset 68 (GPKG magic etc.). */
   def finish(applicationId: Int = 0): Unit = {
-    // master rows: (type, name, tbl_name, rootpage, sql)
-    val cells = master.zipWithIndex.map { case ((name, root, sql), i) =>
-      val rec = record(Seq("table", name, name, root.toLong, sql))
-      require(rec.length <= Usable - 100 - 35, "sqlite_master row too large")
-      varint(rec.length.toLong) ++ varint((i + 1).toLong) ++ rec
+    // master rows: (type, name, tbl_name, rootpage, sql) — oversized records
+    // (a wide layer's CREATE TABLE) spill to overflow chains, and a catalog
+    // that outgrows page 1's single leaf becomes a real b-tree whose root
+    // interior sits on page 1; silently overwriting the header region with
+    // cell content is never possible
+    val cells = master.zipWithIndex.map { case ((typ, name, tbl, root, sql), i) =>
+      val rec = record(Seq(typ, name, tbl, root.toLong, sql))
+      val body = if (rec.length <= MaxLeafLocal) rec else spill(rec)
+      varint(rec.length.toLong) ++ varint((i + 1).toLong) ++ body
     }
-    val page1 = serializeLeaf(cells.toSeq, isPage1 = true)
+    val singleLeafUsed = 100 + 8 + cells.map(c => 2 + c.length).sum
+    val page1: Array[Byte] =
+      if (singleLeafUsed <= pageSize) serializeLeaf(cells.toSeq, isPage1 = true)
+      else {
+        // pack cells into normal leaves, then interior levels; the root
+        // lands on page 1
+        var leaves = Vector.empty[(Int, Long)]
+        var group = Vector.empty[Array[Byte]]
+        var used = 8
+        var lastRowid = 0L
+        cells.zipWithIndex.foreach { case (c, i) =>
+          if (used + 2 + c.length > Usable) {
+            val p = allocPage()
+            writePage(p, serializeLeaf(group, isPage1 = false))
+            leaves :+= ((p, lastRowid))
+            group = Vector.empty; used = 8
+          }
+          group :+= c; used += 2 + c.length; lastRowid = i + 1L
+        }
+        if (group.nonEmpty) {
+          val p = allocPage()
+          writePage(p, serializeLeaf(group, isPage1 = false))
+          leaves :+= ((p, lastRowid))
+        }
+        val fanout = (Usable - 12) / (2 + 13)
+        val fanout1 = (Usable - 100 - 12) / (2 + 13)
+        var level = leaves
+        while (level.size > fanout1) {
+          val groups0 = level.grouped(fanout).toVector
+          val groups =
+            if (groups0.size > 1 && groups0.last.size == 1) {
+              val split = groups0(groups0.size - 2) ++ groups0.last
+              val half = split.size / 2
+              groups0.dropRight(2) :+ split.take(half) :+ split.drop(half)
+            } else groups0
+          level = groups.map { g =>
+            val p = allocPage()
+            writePage(p, serializeInterior(g.init, g.last._1))
+            (p, g.last._2)
+          }
+        }
+        serializeInterior(level.init, level.last._1, isPage1 = true)
+      }
     // 100-byte header
     val bb = ByteBuffer.wrap(page1)
     val magic = "SQLite format 3".getBytes(StandardCharsets.US_ASCII) :+ 0.toByte

@@ -148,10 +148,14 @@ class SqliteSinksSpec extends SparkSpec {
     val db = new Db(path)
     assert(db.appId == 0x47504B47, "GPKG application id")
     assert(db.catalog.keySet == Set("export", "sqlite_sequence",
-      "gpkg_spatial_ref_sys", "gpkg_contents", "gpkg_geometry_columns"))
-    // metadata rows
+      "gpkg_spatial_ref_sys", "gpkg_contents", "gpkg_geometry_columns",
+      "sqlite_autoindex_gpkg_contents_1", "sqlite_autoindex_gpkg_contents_2",
+      "sqlite_autoindex_gpkg_geometry_columns_1"))
+    // metadata rows: srs_id is the INTEGER PRIMARY KEY = the rowid (the
+    // record slot is NULL, as real SQLite stores ipk columns)
     val srs = db.readTable(db.catalog("gpkg_spatial_ref_sys")._1)
-    assert(srs.map(_._2(1).asInstanceOf[Long]).toSet == Set(-1L, 0L, 4326L))
+    assert(srs.map(_._1).toSet == Set(-1L, 0L, 4326L))
+    assert(srs.forall(_._2(1) == null))
     val contents = db.readTable(db.catalog("gpkg_contents")._1)
     assert(contents.size == 1 && contents.head._2.head == "export" &&
       contents.head._2(1) == "features")
@@ -163,7 +167,8 @@ class SqliteSinksSpec extends SparkSpec {
     assert(stored.map(_._1) == (1L to n).toSeq, "fid rowids dense ascending")
     val expect = rows.map(r => r.getString(0) -> r).toMap
     stored.foreach { case (_, vals) =>
-      val id = vals.head.asInstanceOf[String]
+      assert(vals.head == null, "fid record slot must be NULL (ipk = rowid)")
+      val id = vals(1).asInstanceOf[String]
       val r = expect(id)
       val blob = vals.last.asInstanceOf[Array[Byte]]
       val gb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
@@ -214,9 +219,9 @@ class SqliteSinksSpec extends SparkSpec {
     val db = new Db(path)
     val stored = db.readTable(db.catalog("export")._1)
     assert(stored.size == 2000)
-    val byId = stored.map(r => r._2.head.asInstanceOf[String] -> r._2).toMap
-    assert(byId("id00777")(1) == big, "overflow payload intact")
-    assert(byId("id01999")(1) == "note1999")
+    val byId = stored.map(r => r._2(1).asInstanceOf[String] -> r._2).toMap
+    assert(byId("id00777")(2) == big, "overflow payload intact")
+    assert(byId("id01999")(2) == "note1999")
   }
 
   test("gpkg declares sqlite_sequence so AUTOINCREMENT files stay writable") {
