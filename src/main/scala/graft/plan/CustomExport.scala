@@ -91,7 +91,7 @@ object CustomExport {
     case "sql" =>
       Some(graft.sinks.PgDump.writeDistributed(df, s"$dir/export.sql", table))
     case "gpkg" =>
-      Some(graft.sinks.Gpkg.write(df, s"$dir/export.gpkg", table))
+      Some(graft.sinks.Gpkg.writeDistributed(df, s"$dir/export.gpkg", table))
     // tile payloads are gzip MVT (tippecanoe output parity): PMTiles
     // tile_type 1, MBTiles format=pbf + vector_layers metadata
     case "pmtiles" =>
@@ -181,8 +181,9 @@ object CustomExport {
           if (formats.contains("parquet"))
             spark.read.parquet(s"$catDir/parquet").count()
           else if (formats.contains("geojson"))
+            // the compacted lineage parquet survives part cleanup;
             // coalesce: SUM over zero manifest rows is NULL (empty category)
-            graft.lineage.Lineage.finish(spark, s"$catDir/geojson")
+            spark.read.parquet(s"$catDir/geojson/lineage")
               .agg(coalesce(sum("rowCount"), lit(0L)))
               .collect().head.getLong(0)
           else df.count()

@@ -73,6 +73,25 @@ object Gpkg {
     case x => x.toString
   }
 
+  private def createLayerSql(attrFields: Seq[StructField], layer: String): String = {
+    val attrDefs = attrFields.map(f =>
+      s""""${f.name}" ${sqlType(f.dataType)}""").mkString(", ")
+    s"""CREATE TABLE "$layer" (fid INTEGER PRIMARY KEY AUTOINCREMENT""" +
+      (if (attrDefs.nonEmpty) s", $attrDefs" else "") + """, "geom" GEOMETRY)"""
+  }
+
+  /** One row → SQLite record bytes: NULL fid slot (ipk = rowid), typed
+    * attributes, GPB geometry blob. Serializable — runs map-side in the
+    * distributed writer and on the driver in [[write]], byte-identically. */
+  private def rowRecord(attrIdxs: Seq[Int],
+      geomOf: Option[Row => FeatureModel.Geom])(r: Row): Array[Byte] = {
+    val blob: Any = geomOf match {
+      case Some(g) => val geom = g(r); gpb(geom.gtype, geom.pts)
+      case None => null
+    }
+    Sqlite.record((null: Any) +: attrIdxs.map(i => typed(r.get(i))) :+ blob)
+  }
+
   /** Write the extract as a single-layer GeoPackage; returns the row count.
     * Extracts without anchor columns (csv/centroid projections) store NULL
     * geometry — legal in GPKG feature tables. */
@@ -81,7 +100,9 @@ object Gpkg {
     val idx = df.columns.zipWithIndex.toMap
     val attrFields = df.schema.fields
       .filterNot(f => FeatureModel.geomCols(f.name)).toSeq
+    val attrIdxs = attrFields.map(f => idx(f.name))
     val geomOf = FeatureModel.geomReader(df.columns.toIndexedSeq)
+    val encode = rowRecord(attrIdxs, geomOf) _
 
     Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
     val db = new Sqlite(path)
@@ -89,37 +110,86 @@ object Gpkg {
     var minX = Double.MaxValue; var minY = Double.MaxValue
     var maxX = Double.MinValue; var maxY = Double.MinValue
 
-    val attrDefs = attrFields.map(f =>
-      s""""${f.name}" ${sqlType(f.dataType)}""").mkString(", ")
-    val createLayer =
-      s"""CREATE TABLE "$layer" (fid INTEGER PRIMARY KEY AUTOINCREMENT""" +
-        (if (attrDefs.nonEmpty) s", $attrDefs" else "") + """, "geom" GEOMETRY)"""
-
     val it = df.toLocalIterator()
-    val rows = new Iterator[(Long, Seq[Any])] {
+    val rows = new Iterator[(Long, Array[Byte])] {
       def hasNext: Boolean = it.hasNext
-      def next(): (Long, Seq[Any]) = {
+      def next(): (Long, Array[Byte]) = {
         val r = it.next()
         n += 1
-        val blob: Any = geomOf match {
-          case Some(g) =>
-            val geom = g(r)
-            geom.pts.foreach { case (x, y) =>
-              if (x < minX) minX = x; if (x > maxX) maxX = x
-              if (y < minY) minY = y; if (y > maxY) maxY = y
-            }
-            gpb(geom.gtype, geom.pts)
-          case None => null
-        }
-        val attrs = attrFields.map(f => typed(r.get(idx(f.name))))
-        // fid is INTEGER PRIMARY KEY = the rowid: real SQLite stores a NULL
-        // in the record slot and reads the column from the rowid — omitting
-        // the slot would shift every attribute left by one for real clients
-        (n, (null: Any) +: attrs :+ blob)
+        geomOf.foreach(g => g(r).pts.foreach { case (x, y) =>
+          if (x < minX) minX = x; if (x > maxX) maxX = x
+          if (y < minY) minY = y; if (y > maxY) maxY = y
+        })
+        (n, encode(r))
       }
     }
-    db.writeTable(layer, createLayer, rows)
+    db.writeTableEncoded(layer, createLayerSql(attrFields, layer), rows)
+    val env = if (n == 0 || minX == Double.MaxValue) None
+      else Some(Array(minX, minY, maxX, maxY))
+    metadataTables(db, layer, n, env)
+    db.finish(applicationId = 0x47504B47) // "GPKG"
+    n
+  }
 
+  /** Distributed sibling of [[write]]: each task encodes its partition's
+    * SQLite records map-side into committed, resumable byte parts
+    * (length-prefixed framing; per-part envelope in the lineage manifests);
+    * the driver then streams the pre-encoded records into b-tree pages —
+    * O(page) memory, no per-row serialization on the driver. Byte-identical
+    * to [[write]] output; parts clean up after success. */
+  def writeDistributed(df0: DataFrame, path: String, layer: String = "export",
+      failAtPartition: Int = -1): Long = {
+    val df = FeatureModel.prepare(df0)
+    val idx = df.columns.zipWithIndex.toMap
+    val attrFields = df.schema.fields
+      .filterNot(f => FeatureModel.geomCols(f.name)).toSeq
+    val attrIdxs = attrFields.map(f => idx(f.name))
+    val geomOf = FeatureModel.geomReader(df.columns.toIndexedSeq)
+    val encodeRec = rowRecord(attrIdxs, geomOf) _
+    val encode = (r: Row) => {
+      val rec = encodeRec(r)
+      ByteBuffer.allocate(4).putInt(rec.length).array() ++ rec
+    }
+    val stateDir = s"$path.state"
+    graft.lineage.Lineage.exportResumableBytes(df, stateDir, encode,
+      ext = "rec", failAtPartition = failAtPartition,
+      coords = geomOf.map(g => (r: Row) => g(r).pts))
+
+    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
+    val db = new Sqlite(path)
+    var n = 0L
+    val rows: Iterator[(Long, Array[Byte])] =
+      graft.lineage.Lineage.committedPartFiles(stateDir, "rec").iterator
+        .flatMap { p =>
+          val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+            Files.newInputStream(p)))
+          new Iterator[Array[Byte]] {
+            private var nextLen = readLen()
+            private def readLen(): Int =
+              try in.readInt() catch { case _: java.io.EOFException => in.close(); -1 }
+            def hasNext: Boolean = nextLen >= 0
+            def next(): Array[Byte] = {
+              val b = new Array[Byte](nextLen)
+              in.readFully(b)
+              nextLen = readLen()
+              b
+            }
+          }
+        }
+        .map { rec => n += 1; (n, rec) }
+    db.writeTableEncoded(layer, createLayerSql(attrFields, layer), rows)
+    val env = graft.lineage.Lineage.partEnvelope(stateDir)
+      .filter(_ => n > 0).map(e => Array(e(0), e(1), e(2), e(3)))
+    metadataTables(db, layer, n, env)
+    db.finish(applicationId = 0x47504B47)
+    graft.lineage.Lineage.finish(df.sparkSession, stateDir)
+    graft.lineage.Lineage.cleanParts(stateDir)
+    n
+  }
+
+  /** The gpkg_* metadata tables + autoindexes shared by both writers. */
+  private def metadataTables(db: Sqlite, layer: String, n: Long,
+      env: Option[Array[Double]]): Unit = {
     // AUTOINCREMENT contract: SQLite keeps the high-water mark per table in
     // sqlite_sequence; a file that declares AUTOINCREMENT without it is
     // read-only-at-best for real sqlite clients (INSERT fails)
@@ -138,10 +208,11 @@ object Gpkg {
           "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]],PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]",
           null))))
 
-    val (emn, emx, emy, emY) =
-      if (n == 0 || minX == Double.MaxValue) (null, null, null, null)
-      else (minX: java.lang.Double, maxX: java.lang.Double,
-        minY: java.lang.Double, maxY: java.lang.Double)
+    val (emn, emx, emy, emY) = env match {
+      case Some(e) => (e(0): java.lang.Double, e(2): java.lang.Double,
+        e(1): java.lang.Double, e(3): java.lang.Double)
+      case None => (null, null, null, null)
+    }
     db.writeTable("gpkg_contents",
       """CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL, identifier TEXT UNIQUE, description TEXT DEFAULT '', last_change DATETIME NOT NULL DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')), min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)""",
       Iterator((1L, Seq[Any](layer, "features", layer, "",
@@ -159,8 +230,6 @@ object Gpkg {
       Iterator((1L, Seq[Any](layer, "geom", "GEOMETRY", 4326L, 0L, 0L))))
     db.writeIndex("sqlite_autoindex_gpkg_geometry_columns_1",
       "gpkg_geometry_columns", Seq(Seq[Any](layer, "geom", 1L)))
-
-    db.finish(applicationId = 0x47504B47) // "GPKG"
-    n
+    ()
   }
 }

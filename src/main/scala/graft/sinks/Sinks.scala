@@ -53,6 +53,11 @@ object Sinks {
     val out = Paths.get(outDir, "export.geojson")
     Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // compact the manifests into the lineage parquet (it survives the part
+    // cleanup for accounting), then drop parts/ — a succeeded export must
+    // not keep the dataset duplicated on disk or leave resumable state
+    Lineage.finish(extract.sparkSession, outDir)
+    Lineage.cleanParts(outDir)
     out
   }
 

@@ -20,22 +20,12 @@ import java.nio.charset.StandardCharsets
   * which is exactly what the reference ships (ogr2ogr also writes fresh
   * GPKG/MBTiles containers).
   */
-final class Sqlite(path: String, pageSize: Int = 4096) {
+/** Serializable record/varint encoders — callable from executors so
+  * distributed sinks can serialize SQLite records map-side and hand the
+  * driver only pre-encoded bytes for b-tree assembly. */
+object Sqlite {
 
-  private val raf = new RandomAccessFile(path, "rw")
-  raf.setLength(0)
-  private var nextPage = 2 // page 1 is the sqlite_master root
-  // (type, name, tbl_name, rootpage, sql — null for autoindexes)
-  private val master =
-    scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Int, String)]
-
-  private val Usable = pageSize // no reserved bytes
-  private val MaxLeafLocal = Usable - 35
-  private val MinLocal = (Usable - 12) * 32 / 255 - 23
-
-  // ---- low-level helpers -----------------------------------------------------
-
-  private def varint(v0: Long): Array[Byte] = {
+  def varint(v0: Long): Array[Byte] = {
     // negatives and ≥2^56 use SQLite's 9-byte form: 8 continuation bytes of
     // 7 bits each, then a final byte carrying the LOW 8 bits — needed for
     // the spec-mandated srs_id -1 rowid in gpkg_spatial_ref_sys
@@ -67,18 +57,8 @@ final class Sqlite(path: String, pageSize: Int = 4096) {
     }
   }
 
-  private def allocPage(): Int = { val p = nextPage; nextPage += 1; p }
-
-  private def writePage(page: Int, bytes: Array[Byte]): Unit = {
-    require(bytes.length == pageSize, s"page must be $pageSize bytes")
-    raf.seek((page - 1).toLong * pageSize)
-    raf.write(bytes)
-  }
-
-  // ---- record (row) encoding -------------------------------------------------
-
-  /** Serialize one row to the SQLite record format. Supported values: null,
-    * Long, Int, Double, String, Array[Byte], Boolean. */
+  /** SQLite record encoding (header of serial types + bodies). Supported:
+    * null, Long, Int, Double, String, Array[Byte], Boolean. */
   def record(values: Seq[Any]): Array[Byte] = {
     val bodies = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val serials = values.map {
@@ -115,6 +95,38 @@ final class Sqlite(path: String, pageSize: Int = 4096) {
       bodies += ByteBuffer.allocate(4).putInt(l.toInt).array(); 4L
     } else { bodies += ByteBuffer.allocate(8).putLong(l).array(); 6L }
   }
+}
+
+final class Sqlite(path: String, pageSize: Int = 4096) {
+
+  private val raf = new RandomAccessFile(path, "rw")
+  raf.setLength(0)
+  private var nextPage = 2 // page 1 is the sqlite_master root
+  // (type, name, tbl_name, rootpage, sql — null for autoindexes)
+  private val master =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Int, String)]
+
+  private val Usable = pageSize // no reserved bytes
+  private val MaxLeafLocal = Usable - 35
+  private val MinLocal = (Usable - 12) * 32 / 255 - 23
+
+  // ---- low-level helpers -----------------------------------------------------
+
+  private def varint(v0: Long): Array[Byte] = Sqlite.varint(v0)
+
+  private def allocPage(): Int = { val p = nextPage; nextPage += 1; p }
+
+  private def writePage(page: Int, bytes: Array[Byte]): Unit = {
+    require(bytes.length == pageSize, s"page must be $pageSize bytes")
+    raf.seek((page - 1).toLong * pageSize)
+    raf.write(bytes)
+  }
+
+  // ---- record (row) encoding -------------------------------------------------
+
+  /** Serialize one row to the SQLite record format. Supported values: null,
+    * Long, Int, Double, String, Array[Byte], Boolean. */
+  def record(values: Seq[Any]): Array[Byte] = Sqlite.record(values)
 
   // ---- b-tree construction ---------------------------------------------------
 

@@ -256,6 +256,38 @@ class SqliteSinksSpec extends SparkSpec {
     assert(got.head._2 == Seq("v1", 7L))
   }
 
+  test("distributed gpkg is byte-identical to the driver-streamed writer") {
+    val dir = Files.createTempDirectory("gpkgd")
+    val p1 = dir.resolve("driver.gpkg").toString
+    val p2 = dir.resolve("dist.gpkg").toString
+    val n1 = Gpkg.write(feats, p1)
+    val n2 = Gpkg.writeDistributed(feats, p2)
+    assert(n1 == n2)
+    assert(java.util.Arrays.equals(Files.readAllBytes(Paths.get(p1)),
+      Files.readAllBytes(Paths.get(p2))),
+      "map-side record encoding must reproduce the driver writer exactly")
+    // resumable state cleaned after success
+    assert(!Files.exists(Paths.get(s"$p2.state/parts")))
+  }
+
+  test("distributed gpkg: kill mid-export, resume completes, file valid") {
+    val dir = Files.createTempDirectory("gpkgk")
+    val path = dir.resolve("k.gpkg").toString
+    intercept[Exception] {
+      Gpkg.writeDistributed(feats.repartition(6), path, failAtPartition = 3)
+    }
+    assert(graft.lineage.Lineage.committedParts(s"$path.state").nonEmpty)
+    val n = Gpkg.writeDistributed(feats.repartition(6), path)
+    assert(n == feats.count())
+    val db = new Db(path)
+    val stored = db.readTable(db.catalog("export")._1)
+    assert(stored.size.toLong == n)
+    assert(stored.map(_._1) == (1L to n).toSeq, "fid rowids dense ascending")
+    val ids = stored.map(_._2(1).asInstanceOf[String]).toSet
+    assert(ids == feats.collect().map(_.getString(0)).toSet,
+      "resumed container holds exactly the source rows")
+  }
+
   test("mbtiles MVT path: format=pbf, vector_layers metadata, payloads decode") {
     val path = Files.createTempDirectory("mbtm").resolve("export.mbtiles").toString
     val nTiles = MbTiles.writeMvt(feats, path, (2, 3), "export")
