@@ -104,14 +104,6 @@ object CustomExport {
     case f => throw new IllegalArgumentException(s"unknown format $f")
   }
 
-  /** The shared tile pipeline feeding both tile-archive sinks: serialize
-    * features, explode the z-pyramid. */
-  def tiledFeatures(df: DataFrame, zooms: (Int, Int)): DataFrame =
-    graft.operators.SpatialJoin.tileAssign(
-      df.select(col("lon"), col("lat"),
-        PlanBuilder.geoJsonFeatureCol(df).as("feature")),
-      zooms._1, zooms._2)
-
   /** Stage once, then run all categories concurrently on FAIR pools — and,
     * inside each category, all formats concurrently (the reference's
     * per-category format thread pool, app.py:1463-1491) — writing each to

@@ -194,9 +194,20 @@ object Mvt {
 
   /** Feature DataFrame (kind, lon, lat, x0..y3 + attribute columns) →
     * (z, tx, ty, payload) with one gzip MVT tile per row. The per-tile
-    * groupBy is the only shuffle; encode + gzip are a narrow typed map. */
+    * groupBy is the only shuffle (plus one more when the cap engages);
+    * encode + gzip are a narrow typed map.
+    *
+    * `maxFeaturesPerTile`: a z2 tile sees ~1/16th of the WHOLE table, so at
+    * 10^12 rows an uncapped per-tile group is a single-task scale-killer
+    * (and no renderable tile wants 10^10 features). Like tippecanoe's
+    * feature-dropping on over-full tiles, each tile keeps a deterministic
+    * pseudo-random subset: phase 1 caps each of `CapSalt` hash sub-buckets
+    * (bounds every task at cap rows even for planet-sized tiles), phase 2
+    * caps the ≤ CapSalt·cap survivors. Under-cap tiles pass through
+    * exactly. ≤ 0 disables. */
   def tilePayloads(df0: DataFrame, zooms: (Int, Int),
-      layerName: String, extent: Int = DefaultExtent): DataFrame = {
+      layerName: String, extent: Int = DefaultExtent,
+      maxFeaturesPerTile: Int = 10000): DataFrame = {
     val df = FeatureModel.prepare(df0)
     val haveVerts = df.columns.contains("x0") && df.columns.contains("kind")
     val geomStruct =
@@ -208,7 +219,23 @@ object Mvt {
     val packed = df.select(
       col("lon"), col("lat"), geomStruct.as("_geom"),
       struct(attrCols.map(col): _*).as("_attrs"))
-    val tiled = graft.operators.SpatialJoin.tileAssign(packed, zooms._1, zooms._2)
+    val tiled0 = graft.operators.SpatialJoin.tileAssign(packed, zooms._1, zooms._2)
+    val tiled =
+      if (maxFeaturesPerTile <= 0) tiled0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val CapSalt = 16
+        val h = xxhash64(col("_attrs"), col("_geom"))
+        val w1 = Window
+          .partitionBy(col("z"), col("tx"), col("ty"), pmod(h, lit(CapSalt)))
+          .orderBy(h)
+        val w2 = Window.partitionBy(col("z"), col("tx"), col("ty")).orderBy(h)
+        tiled0
+          .withColumn("_rn", row_number().over(w1))
+          .filter(col("_rn") <= maxFeaturesPerTile).drop("_rn")
+          .withColumn("_rn", row_number().over(w2))
+          .filter(col("_rn") <= maxFeaturesPerTile).drop("_rn")
+      }
     val grouped = tiled.groupBy(col("z"), col("tx"), col("ty"))
       .agg(collect_list(struct(col("_geom"), col("_attrs"))).as("feats"))
     val attrSchema = StructType(attrCols.map(c => df.schema(c)))

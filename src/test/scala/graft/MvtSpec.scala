@@ -279,6 +279,30 @@ class MvtSpec extends SparkSpec {
     }
   }
 
+  test("per-tile feature cap: bounded groups, deterministic pseudo-random selection") {
+    // everything lands in the single z0 tile — the worst-case group shape a
+    // planet-scale low-zoom tile has; the cap must bound it deterministically
+    val total = feats.count()
+    val capped = Mvt.tilePayloads(feats, (0, 0), "export",
+      maxFeaturesPerTile = 50).collect()
+    assert(capped.length == 1)
+    val l1 = decodeTile(gunzip(capped.head.getAs[Array[Byte]](3))).head
+    assert(l1.features.size == 50, s"cap must bind: ${l1.features.size}")
+    // deterministic: a second run yields byte-identical payload
+    val again = Mvt.tilePayloads(feats, (0, 0), "export",
+      maxFeaturesPerTile = 50).collect()
+    assert(java.util.Arrays.equals(capped.head.getAs[Array[Byte]](3),
+      again.head.getAs[Array[Byte]](3)))
+    // under-cap tiles pass through exactly
+    val uncapped = Mvt.tilePayloads(feats, (0, 0), "export").collect()
+    val l2 = decodeTile(gunzip(uncapped.head.getAs[Array[Byte]](3))).head
+    assert(l2.features.size.toLong == total)
+    // the kept subset is a subset of the full feature set
+    val ids = (l: MvtDecode.Layer) =>
+      l.features.map(f => l.attrs(f)("image_id")).toSet
+    assert(ids(l1).subsetOf(ids(l2)))
+  }
+
   test("PMTiles MVT archive: tile_type 1, directory-addressed payloads decode") {
     val dir = Files.createTempDirectory("pmt_mvt").toString
     val path = s"$dir/export.pmtiles"
