@@ -42,6 +42,10 @@ object Lineage {
     * refuses that: a fingerprint mismatch discards all stale parts and
     * restarts clean. */
   def runFingerprint(df: DataFrame): String = {
+    // df.rdd finalizes the plan (under AQE this materializes intermediate
+    // query stages); callers pass the SAME Dataset instance they export, so
+    // foreachPartition reuses this lazy rdd and its shuffle outputs — the
+    // fingerprint does not cost a second execution
     val n = df.rdd.getNumPartitions
     val h = java.security.MessageDigest.getInstance("MD5")
     h.update(df.queryExecution.analyzed.semanticHash().toString
@@ -81,6 +85,18 @@ object Lineage {
       .toSet
   }
 
+  /** Test-only fault hook: fire AFTER at least one sibling partition has
+    * committed (bounded wait) — a fast failure cancels the stage before any
+    * part lands, and the kill-and-resume tests then observe an empty (not
+    * partial) commit, a race seen under full-suite load. */
+  private def injectFault(outDir: String, pid: Int): Nothing = {
+    val deadline = System.currentTimeMillis() + 10000
+    while (committedParts(outDir).isEmpty &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    throw new RuntimeException(s"injected fault at partition $pid")
+  }
+
   /** Export `lines` (single string column) to outDir, committing per
     * partition; skips partitions already committed by a previous (killed)
     * run. `failAtPartition` injects a fault for the kill-and-resume test. */
@@ -95,8 +111,7 @@ object Lineage {
     frame.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       if (!doneBc.value.contains(pid)) {
-        if (pid == failAtPartition)
-          throw new RuntimeException(s"injected fault at partition $pid")
+        if (pid == failAtPartition) injectFault(outDir, pid)
         val t0 = System.currentTimeMillis()
         // tmp is attempt-keyed: concurrent attempts of one partition
         // (speculation, zombie task) each stream to their own file; the
@@ -139,8 +154,7 @@ object Lineage {
     df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       if (!doneBc.value.contains(pid)) {
-        if (pid == failAtPartition)
-          throw new RuntimeException(s"injected fault at partition $pid")
+        if (pid == failAtPartition) injectFault(outDir, pid)
         val t0 = System.currentTimeMillis()
         val attempt = org.apache.spark.TaskContext.get.taskAttemptId()
         val tmp = Paths.get(outDir, "parts", s"p$pid.a$attempt.tmp")

@@ -38,10 +38,11 @@ object MbTiles {
   /** MBTiles 1.3 `json` metadata (required when format=pbf): the vector
     * layer inventory tile readers use for styling. */
   def vectorLayersJson(features: DataFrame, zooms: (Int, Int), name: String): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val attrCols = FeatureModel.prepare(features).columns
       .filterNot(FeatureModel.geomCols)
-    val fields = attrCols.map(c => s""""$c":"String"""").mkString(",")
-    s"""{"vector_layers":[{"id":"$name","minzoom":${zooms._1},"maxzoom":${zooms._2},"fields":{$fields}}]}"""
+    val fields = attrCols.map(c => s""""${esc(c)}":"String"""").mkString(",")
+    s"""{"vector_layers":[{"id":"${esc(name)}","minzoom":${zooms._1},"maxzoom":${zooms._2},"fields":{$fields}}]}"""
   }
 
   /** Legacy GeoJSON-payload variant (kept for the payload-agnostic container

@@ -77,6 +77,11 @@ object Mvt {
       case n: java.lang.Double => p.doubleField(3, n.doubleValue())
       case n: java.lang.Float => p.doubleField(3, n.doubleValue())
       case n: java.math.BigDecimal => p.doubleField(3, n.doubleValue())
+      // MVT Value has no binary/list variants — encode deterministically
+      // (JVM toString of an array is an identity hash: garbage that also
+      // differs across runs)
+      case b: Array[Byte] => p.strField(1, java.util.Base64.getEncoder.encodeToString(b))
+      case s: scala.collection.Seq[_] => p.strField(1, s.mkString("[", ",", "]"))
       case other => p.strField(1, String.valueOf(other))
     }
     p.bytes
@@ -99,8 +104,21 @@ object Mvt {
       x1 * y2 - x2 * y1
     }.sum
 
+  private def dedupConsecutive(pts: IndexedSeq[(Long, Long)]): IndexedSeq[(Long, Long)] =
+    pts.foldLeft(IndexedSeq.empty[(Long, Long)]) { (acc, p) =>
+      if (acc.nonEmpty && acc.last == p) acc else acc :+ p
+    }
+
   /** The MoveTo/LineTo/ClosePath command stream; the cursor starts at (0,0)
-    * per feature and persists across rings. */
+    * per feature and persists across rings.
+    *
+    * Sub-unit geometry: quantization at low zooms collapses building-scale
+    * shapes onto repeated vertices — zero-length LineTo segments and
+    * zero-area rings are invalid MVT (winding can't classify a zero-area
+    * exterior ring). Like tippecanoe's tiny-geometry reduction, a collapsed
+    * line becomes a one-unit segment and a collapsed polygon a one-unit
+    * square at the quantized anchor: the feature (and its attributes)
+    * survives in every tile it belongs to, as a minimal valid shape. */
   def geometryStream(f: Feature): Seq[Long] = {
     val cmds = scala.collection.mutable.ArrayBuffer.empty[Long]
     var cx = 0L; var cy = 0L
@@ -113,12 +131,23 @@ object Mvt {
         cmds += command(1, f.rings.head.length)
         f.rings.head.foreach(push)
       case 2 =>
-        f.rings.foreach { line =>
+        f.rings.foreach { line0 =>
+          val d = dedupConsecutive(line0)
+          val line =
+            if (d.length >= 2) d
+            else IndexedSeq(d.head, (d.head._1 + 1, d.head._2))
           cmds += command(1, 1); push(line.head)
           cmds += command(2, line.length - 1); line.tail.foreach(push)
         }
       case 3 =>
-        f.rings.zipWithIndex.foreach { case (ring0, i) =>
+        f.rings.zipWithIndex.foreach { case (raw, i) =>
+          val d = dedupConsecutive(raw)
+          val ring0 =
+            if (d.length >= 3 && screenArea2(d) != 0) d
+            else {
+              val (x, y) = d.head // unit square, CW in screen coords
+              IndexedSeq((x, y), (x + 1, y), (x + 1, y + 1), (x, y + 1))
+            }
           // exterior (first) ring CW on screen (positive y-down shoelace),
           // interior rings CCW — rewind when the source disagrees
           val wantPositive = i == 0
@@ -268,9 +297,11 @@ object Mvt {
           a.get(idIdx) match { case l: Long => l; case i: Int => i.toLong; case _ => 0L }
         else 0L
         Feature(id, gtype, rings, attrs)
-      // collect_list order is nondeterministic; fix it (id, then attr
-      // values) so re-runs produce byte-identical tiles
-      }.sortBy(f => (f.id, f.attrs.map(_._2.toString).mkString(" ")))
+      // collect_list order is nondeterministic; fix it (id, attr values,
+      // then geometry for attr-less frames) so re-runs produce
+      // byte-identical tiles
+      }.sortBy(f => (f.id,
+        f.attrs.map(_._2.toString).mkString(" "), f.rings.toString))
       (z, tx, ty, gzip(encodeTile(layerName, extent, feats)))
     }(enc).toDF("z", "tx", "ty", "payload")
   }

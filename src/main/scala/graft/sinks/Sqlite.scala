@@ -291,9 +291,14 @@ final class Sqlite(path: String, pageSize: Int = 4096) {
     * each entry is the indexed column values PLUS the rowid as last column.
     * Catalog-sized (single leaf); `sql` null registers it as an autoindex. */
   def writeIndex(name: String, table: String, keys: Seq[Seq[Any]]): Unit = {
+    // index pages overflow at a LOWER threshold than table leaves
+    // ((usable-12)*64/255 - 23); this writer doesn't build index overflow
+    // chains, so refuse loudly rather than embed an oversized record a real
+    // client would misparse
+    val idxMaxLocal = (Usable - 12) * 64 / 255 - 23
     val cells = keys.map { k =>
       val rec = record(k)
-      require(rec.length <= MaxLeafLocal,
+      require(rec.length <= idxMaxLocal,
         s"index $name record too large for the single-leaf writer")
       varint(rec.length.toLong) ++ rec
     }
@@ -322,25 +327,29 @@ final class Sqlite(path: String, pageSize: Int = 4096) {
     val page1: Array[Byte] =
       if (singleLeafUsed <= pageSize) serializeLeaf(cells.toSeq, isPage1 = true)
       else {
-        // pack cells into normal leaves, then interior levels; the root
-        // lands on page 1
-        var leaves = Vector.empty[(Int, Long)]
-        var group = Vector.empty[Array[Byte]]
+        // pack cells into normal leaves (grouping first, pages after), then
+        // interior levels; the root lands on page 1
+        var groups = Vector.empty[Vector[(Array[Byte], Long)]]
+        var group = Vector.empty[(Array[Byte], Long)]
         var used = 8
-        var lastRowid = 0L
         cells.zipWithIndex.foreach { case (c, i) =>
           if (used + 2 + c.length > Usable) {
-            val p = allocPage()
-            writePage(p, serializeLeaf(group, isPage1 = false))
-            leaves :+= ((p, lastRowid))
-            group = Vector.empty; used = 8
+            groups :+= group; group = Vector.empty; used = 8
           }
-          group :+= c; used += 2 + c.length; lastRowid = i + 1L
+          group :+= ((c, i + 1L)); used += 2 + c.length
         }
-        if (group.nonEmpty) {
+        if (group.nonEmpty) groups :+= group
+        // a single full leaf would make page 1 a ZERO-cell interior root
+        // (rightmost pointer only) — a construct sqlite3 never emits and
+        // strict readers may reject; split it so the root carries ≥1 cell
+        if (groups.size == 1) {
+          val half = groups.head.size / 2
+          groups = Vector(groups.head.take(half), groups.head.drop(half))
+        }
+        val leaves = groups.map { g =>
           val p = allocPage()
-          writePage(p, serializeLeaf(group, isPage1 = false))
-          leaves :+= ((p, lastRowid))
+          writePage(p, serializeLeaf(g.map(_._1), isPage1 = false))
+          (p, g.last._2)
         }
         val fanout = (Usable - 12) / (2 + 13)
         val fanout1 = (Usable - 100 - 12) / (2 + 13)

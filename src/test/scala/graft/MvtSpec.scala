@@ -196,6 +196,28 @@ class MvtSpec extends SparkSpec {
     assert(screenArea2(ring) > 0, "exterior ring must be CW in screen coords")
   }
 
+  test("sub-unit geometry reduces to minimal valid shapes (tippecanoe parity)") {
+    // a building-scale quad at z2 quantizes all vertices to one point —
+    // zero-area rings / zero-length segments are invalid MVT, so the
+    // encoder must emit the tiny-geometry reductions instead
+    val fs = Seq(
+      Mvt.Feature(1, 3, Seq(IndexedSeq((7L, 9L), (7L, 9L), (7L, 9L), (7L, 9L))), Nil),
+      Mvt.Feature(2, 2, Seq(IndexedSeq((3L, 4L), (3L, 4L), (3L, 4L))), Nil),
+      // collinear (zero-area but distinct) polygon also reduces
+      Mvt.Feature(3, 3, Seq(IndexedSeq((0L, 0L), (2L, 0L), (4L, 0L), (2L, 0L))), Nil))
+    val l = decodeTile(Mvt.encodeTile("t", 4096, fs)).head
+    val Seq(pg, ln, col) = l.features
+    val pgRing = decodeGeometry(pg.geom).head
+    assert(pgRing.length == 4 && screenArea2(pgRing) > 0,
+      s"collapsed polygon must become a unit square: $pgRing")
+    assert(pgRing.contains((7L, 9L)))
+    val lnPts = decodeGeometry(ln.geom).head
+    assert(lnPts.length == 2 && lnPts.head != lnPts(1),
+      s"collapsed line must become a one-unit segment: $lnPts")
+    val colRing = decodeGeometry(col.geom).head
+    assert(screenArea2(colRing) > 0, "collinear ring must reduce to nonzero area")
+  }
+
   test("value encoding covers the numeric widths via Number routing") {
     def rt(v: Any): Any = {
       val layers = decodeTile(Mvt.encodeTile("t", 4096,

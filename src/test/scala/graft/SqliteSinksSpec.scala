@@ -288,6 +288,49 @@ class SqliteSinksSpec extends SparkSpec {
       "resumed container holds exactly the source rows")
   }
 
+  test("sqlite_master outgrowing page 1 becomes a b-tree rooted there (no zero-cell root)") {
+    // small pages make the catalog edges reachable: (a) catalog fits ONE
+    // normal leaf but not page 1's 100-byte-shorter one — the root must
+    // still carry ≥1 cell (zero-cell interior roots are a construct real
+    // sqlite never emits); (b) a catalog spanning many leaves
+    var sawInterior = false
+    for (nTables <- 4 to 12 by 2; if true) {
+      val path = Files.createTempDirectory("sqm").resolve(s"m$nTables.db").toString
+      val db = new Sqlite(path, pageSize = 512)
+      (1 to nTables).foreach { i =>
+        db.writeTable(f"tab$i%03d", f"CREATE TABLE tab$i%03d (v TEXT, note TEXT)",
+          Iterator((1L, Seq[Any](s"v$i", null))))
+      }
+      db.finish()
+      val rd = new Db(path)
+      val t = rd.bytes(100) & 0xff
+      assert(t == 0x0d || t == 0x05, s"n=$nTables: page-1 must be leaf or interior")
+      if (t == 0x05) {
+        sawInterior = true
+        assert((rd.bb.getShort(100 + 3) & 0xffff) >= 1,
+          s"n=$nTables: root must carry >=1 cell")
+      }
+      assert(rd.catalog.size == nTables)
+      (1 to nTables).foreach { i =>
+        val got = rd.readTable(rd.catalog(f"tab$i%03d")._1)
+        assert(got.size == 1 && got.head._2.head == s"v$i")
+      }
+    }
+    assert(sawInterior, "the sweep must exercise the multi-page catalog path")
+    // deep case: 40 tables span several leaves
+    val path40 = Files.createTempDirectory("sqm").resolve("m40.db").toString
+    val db40 = new Sqlite(path40, pageSize = 512)
+    (1 to 40).foreach { i =>
+      db40.writeTable(f"tab$i%03d", f"CREATE TABLE tab$i%03d (v TEXT, note TEXT)",
+        Iterator((1L, Seq[Any](s"v$i", null))))
+    }
+    db40.finish()
+    val rd40 = new Db(path40)
+    assert((rd40.bytes(100) & 0xff) == 0x05)
+    assert(rd40.catalog.size == 40)
+    assert(rd40.readTable(rd40.catalog("tab040")._1).head._2.head == "v40")
+  }
+
   test("mbtiles MVT path: format=pbf, vector_layers metadata, payloads decode") {
     val path = Files.createTempDirectory("mbtm").resolve("export.mbtiles").toString
     val nTiles = MbTiles.writeMvt(feats, path, (2, 3), "export")
