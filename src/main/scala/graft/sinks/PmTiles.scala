@@ -89,13 +89,14 @@ object PmTiles {
 
   /** 127-byte v3 header. `tileType`: 1 = MVT, 0 = unspecified payloads. */
   private def header(rootOff: Long, rootLen: Long, metaOff: Long, metaLen: Long,
+      leafOff: Long, leafLen: Long,
       dataOff: Long, dataLen: Long, nTiles: Long, nEntries: Long,
       minZ: Int, maxZ: Int, tileType: Byte): Array[Byte] = {
     val b = ByteBuffer.allocate(127).order(ByteOrder.LITTLE_ENDIAN)
     b.put("PMTiles".getBytes(StandardCharsets.US_ASCII)).put(3.toByte)
     b.putLong(rootOff).putLong(rootLen)
     b.putLong(metaOff).putLong(metaLen)
-    b.putLong(0L).putLong(0L) // no leaf directories in this minimal writer
+    b.putLong(leafOff).putLong(leafLen)
     b.putLong(dataOff).putLong(dataLen)
     b.putLong(nTiles) // addressed tiles
     b.putLong(nEntries) // tile entries
@@ -136,53 +137,87 @@ object PmTiles {
     writePayloads(perTile, path, tileType = 0)
   }
 
+  /** Entries per leaf directory. The v3 spec caps the root directory (it
+    * must be fetchable in one ~16 KB read); archives beyond `LeafSize`
+    * tiles spill entries into leaf directories — root entries with
+    * runLength 0 point at gzip leaf chunks. Also the driver-memory bound:
+    * with leaves the driver holds one chunk + one root entry per 16k
+    * tiles, not 16 B × every tile (a planet pyramid has ~10^8 tiles). */
+  val LeafSize: Int = 16384
+
   /** Shared archive assembly over ready-made (z, tx, ty, payload) rows:
     * group-per-tile already done, payloads already compressed — the driver
-    * streams bytes in Hilbert order and keeps only 16 B/tile of directory. */
-  def writePayloads(perTile0: DataFrame, path: String, tileType: Byte): (Long, Long) = {
+    * streams bytes in Hilbert order; directory entries chunk into leaf
+    * directories once the archive outgrows a single root. */
+  def writePayloads(perTile0: DataFrame, path: String, tileType: Byte,
+      leafSize: Int = LeafSize): (Long, Long) = {
     val perTile = perTile0
       .withColumn("tile_id", udf(tileId _).apply(col("z"), col("tx"), col("ty")))
       .select(col("tile_id"), col("z"), col("payload"))
       .orderBy(col("tile_id"))
     val out = Paths.get(path)
     Files.createDirectories(out.getParent)
-    // tile payloads stream to a sidecar file — only the directory entries
-    // (16 bytes/tile) stay in driver memory, so archive size is disk-bound
+    // tile payloads stream to a sidecar file; leaf directories to a second
     val dataTmp = Files.createTempFile(out.getParent, "pmtiles-data", ".tmp")
+    val leafTmp = Files.createTempFile(out.getParent, "pmtiles-leaf", ".tmp")
     val dataOut = new java.io.BufferedOutputStream(Files.newOutputStream(dataTmp))
+    val leafOut = new java.io.BufferedOutputStream(Files.newOutputStream(leafTmp))
     val it = perTile.toLocalIterator()
     val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    val rootEntries = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    var leafMode = false
+    var leafLen = 0L
+    var nTiles = 0L
     var dataLen = 0L
     var minZ = 127; var maxZ = 0
+    def flushLeaf(): Unit = if (entries.nonEmpty) {
+      val enc = gzip(encodeDirectory(entries.toSeq))
+      // runLength 0 marks a leaf pointer; offset is within the leaf section
+      rootEntries += Entry(entries.head.tileId, leafLen, enc.length, runLength = 0)
+      leafOut.write(enc)
+      leafLen += enc.length
+      entries.clear()
+    }
     try {
       while (it.hasNext) {
         val r = it.next()
         val payload = r.getAs[Array[Byte]](2)
         dataOut.write(payload)
         entries += Entry(r.getLong(0), dataLen, payload.length)
+        nTiles += 1
         dataLen += payload.length
         val z = r.getInt(1)
         if (z < minZ) minZ = z; if (z > maxZ) maxZ = z
+        if (entries.size >= leafSize) { leafMode = true; flushLeaf() }
       }
-    } finally dataOut.close()
-    val root = gzip(encodeDirectory(entries.toSeq))
+    } finally {
+      if (leafMode) flushLeaf()
+      leafOut.close()
+      dataOut.close()
+    }
+    val root = gzip(encodeDirectory(
+      if (leafMode) rootEntries.toSeq else entries.toSeq))
     val meta = gzip("""{"name":"graft tile export"}""".getBytes(StandardCharsets.UTF_8))
     val rootOff = 127L
     val metaOff = rootOff + root.length
-    val dataOff = metaOff + meta.length
+    val leafOff = metaOff + meta.length
+    val dataOff = leafOff + (if (leafMode) leafLen else 0L)
     val hdr = header(rootOff, root.length, metaOff, meta.length,
-      dataOff, dataLen, entries.size, entries.size,
-      if (entries.isEmpty) 0 else minZ, if (entries.isEmpty) 0 else maxZ,
+      if (leafMode) leafOff else 0L, if (leafMode) leafLen else 0L,
+      dataOff, dataLen, nTiles, nTiles,
+      if (nTiles == 0) 0 else minZ, if (nTiles == 0) 0 else maxZ,
       tileType)
     val os = Files.newOutputStream(out)
     try {
       os.write(hdr); os.write(root); os.write(meta)
+      if (leafMode) Files.copy(leafTmp, os)
       Files.copy(dataTmp, os)
     } finally {
       os.close()
       Files.deleteIfExists(dataTmp)
+      Files.deleteIfExists(leafTmp)
       ()
     }
-    (entries.size.toLong, dataOff + dataLen)
+    (nTiles, dataOff + dataLen)
   }
 }

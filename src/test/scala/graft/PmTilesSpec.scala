@@ -37,7 +37,7 @@ class PmTilesSpec extends SparkSpec {
     assert(offs == Seq(0L, 10L, 30L))
   }
 
-  private def decodeDir(b: Array[Byte]): (Seq[Long], Seq[Int], Seq[Long]) = {
+  private def decodeDirRuns(b: Array[Byte]): (Seq[Long], Seq[Int], Seq[Long], Seq[Long]) = {
     var pos = 0
     def varint(): Long = {
       var shift = 0; var v = 0L; var more = true
@@ -47,11 +47,12 @@ class PmTilesSpec extends SparkSpec {
       }
       v
     }
-    val n = varint().toInt
+    val nEntries = varint().toInt
     var last = 0L
-    val ids = (0 until n).map { _ => last += varint(); last }
-    val runs = (0 until n).map(_ => varint())
-    val lens = (0 until n).map(_ => varint().toInt)
+    val ids = (0 until nEntries).map { _ => last += varint(); last }
+    val runs = (0 until nEntries).map(_ => varint())
+    val lens = (0 until nEntries).map(_ => varint().toInt)
+    val n = nEntries
     var prevEnd = 0L
     val offs = (0 until n).map { i =>
       val v = varint()
@@ -59,6 +60,11 @@ class PmTilesSpec extends SparkSpec {
       prevEnd = o + lens(i)
       o
     }
+    (ids, lens, offs, runs)
+  }
+
+  private def decodeDir(b: Array[Byte]): (Seq[Long], Seq[Int], Seq[Long]) = {
+    val (ids, lens, offs, runs) = decodeDirRuns(b)
     assert(runs.forall(_ == 1L))
     (ids, lens, offs)
   }
@@ -106,5 +112,46 @@ class PmTilesSpec extends SparkSpec {
       featureCount += fc.split("""\{"type":"Feature"""", -1).length - 1
     }
     assert(featureCount == expectRows)
+  }
+
+  test("archives beyond leafSize entries spill into leaf directories") {
+    import spark.implicits._
+    // 40 distinct z6 tiles, leafSize 16 → 3 leaf directories (16/16/8)
+    val rows = (0 until 40).map(i => (6, i.toLong, i.toLong,
+      s"payload-$i".getBytes("UTF-8")))
+    val perTile = rows.toDF("z", "tx", "ty", "payload")
+    val dir = Files.createTempDirectory("pmtleaf").toString
+    val path = s"$dir/leaf.pmtiles"
+    val (n, total) = PmTiles.writePayloads(perTile, path, tileType = 0,
+      leafSize = 16)
+    assert(n == 40)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    assert(bytes.length.toLong == total)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val rootOff = bb.getLong(8); val rootLen = bb.getLong(16)
+    val leafOff = bb.getLong(40); val leafLen = bb.getLong(48)
+    val dataOff = bb.getLong(56)
+    assert(leafLen > 0, "leaf directory section must exist")
+    // root: every entry is a leaf pointer (runLength 0), ids ascending
+    val (rIds, rLens, rOffs, rRuns) = decodeDirRuns(gunzip(
+      java.util.Arrays.copyOfRange(bytes, rootOff.toInt, (rootOff + rootLen).toInt)))
+    assert(rRuns.forall(_ == 0L), "root entries must point at leaves")
+    assert(rIds.size == 3 && rIds == rIds.sorted)
+    // resolve every leaf, collect tileId → payload through the data section
+    val expected = rows.map { case (z, tx, ty, p) =>
+      PmTiles.tileId(z, tx, ty) -> new String(p, "UTF-8")
+    }.toMap
+    var seen = Map.empty[Long, String]
+    rIds.indices.foreach { i =>
+      val lo = (leafOff + rOffs(i)).toInt
+      val (ids, lens, offs) = decodeDir(gunzip(
+        java.util.Arrays.copyOfRange(bytes, lo, lo + rLens(i))))
+      assert(ids.head == rIds(i), "root id = first tile id in the leaf")
+      ids.indices.foreach { j =>
+        val o = (dataOff + offs(j)).toInt
+        seen += ids(j) -> new String(bytes, o, lens(j), "UTF-8")
+      }
+    }
+    assert(seen == expected, "every tile resolves through its leaf directory")
   }
 }
