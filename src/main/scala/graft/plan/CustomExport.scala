@@ -119,7 +119,8 @@ object CustomExport {
       stagingDir: String,
       outDir: String,
       formats: Seq[String] = Seq("geojson", "parquet"),
-      parallelism: Int = 4): Map[String, Long] = {
+      parallelism: Int = 4,
+      zipOutputs: Boolean = false): Map[String, Long] = {
     require(categories.nonEmpty, "no categories")
     require(formats.nonEmpty, "no formats")
     val staged = stage(spark, images, geometry, stagingDir)
@@ -169,6 +170,10 @@ object CustomExport {
         // row count preference: a sink-reported exact count, else parquet
         // footer counts / lineage manifests, else one count job — never a
         // redundant pass when a format already knows
+        // S9 packaging parity: zip the category's format outputs after all
+        // its formats land (the reference's zipfly step before upload)
+        if (zipOutputs)
+          graft.sinks.Zip.zipDir(catDir, s"$outDir/${c.name}.zip")
         val n = reported.getOrElse {
           if (formats.contains("parquet"))
             spark.read.parquet(s"$catDir/parquet").count()

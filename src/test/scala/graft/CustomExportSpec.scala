@@ -98,6 +98,50 @@ class CustomExportSpec extends SparkSpec {
     assert(sqlLines.get(sqlLines.size - 1) == "\\.")
   }
 
+  test("zip packaging: streamed archive of category outputs, deterministic bytes") {
+    import java.util.zip.ZipInputStream
+    val staging = Files.createTempDirectory("ce_zip_st").toString
+    val outDir = Files.createTempDirectory("ce_zip_out").toString
+    val images = ImageFixture.read(spark, baseDir)
+    CustomExport.processCategories(spark, images, Some(geom),
+      Seq(cats.head), staging, outDir, formats = Seq("geojson", "csv"),
+      zipOutputs = true)
+    val zipPath = java.nio.file.Paths.get(s"$outDir/${cats.head.name}.zip")
+    assert(Files.exists(zipPath))
+    def entries(p: java.nio.file.Path): Map[String, Long] = {
+      val zin = new ZipInputStream(Files.newInputStream(p))
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      var e = zin.getNextEntry
+      while (e != null) {
+        var n = 0L; val buf = new Array[Byte](8192)
+        var r = zin.read(buf)
+        while (r > 0) { n += r; r = zin.read(buf) }
+        m(e.getName) = n
+        e = zin.getNextEntry
+      }
+      zin.close()
+      m.toMap
+    }
+    val got = entries(zipPath)
+    // archive mirrors the on-disk outputs (sizes equal, bookkeeping skipped)
+    val catDir = java.nio.file.Paths.get(s"$outDir/${cats.head.name}")
+    val walk = Files.walk(catDir)
+    val onDisk = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.filter(Files.isRegularFile(_))
+        .filterNot(p => p.getFileName.toString == "_SUCCESS" ||
+          p.getFileName.toString.endsWith(".crc"))
+        .map(p => catDir.relativize(p).toString -> Files.size(p)).toMap
+    } finally walk.close()
+    assert(got == onDisk, s"zip entries must mirror outputs: $got vs $onDisk")
+    assert(got.keys.exists(_.endsWith("export.geojson")))
+    // deterministic re-zip
+    val again = s"$outDir/again.zip"
+    graft.sinks.Zip.zipDir(catDir.toString, again)
+    assert(java.util.Arrays.equals(Files.readAllBytes(zipPath),
+      Files.readAllBytes(java.nio.file.Paths.get(again))))
+  }
+
   test("featureCollection assembles ONE valid parseable GeoJSON file") {
     val outDir = Files.createTempDirectory("ce_fc").toString
     val req = SnapshotRequest(geometry = geom,
