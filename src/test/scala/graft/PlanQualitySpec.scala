@@ -187,6 +187,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(df.limit(1).count() == 1)
   }
 
+  test("mvt tile pipeline: no joins, bounded exchanges (1 uncapped / 2 capped)") {
+    val feats = ImageFixture.read(spark, tableDir).drop("bytes")
+    def shape(df: org.apache.spark.sql.DataFrame): (Int, Boolean) = {
+      val plan = df.queryExecution.executedPlan.toString
+      (plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning")),
+        plan.contains("Join"))
+    }
+    val (exU, joinU) = shape(graft.sinks.Mvt.tilePayloads(
+      feats, (2, 4), "t", maxFeaturesPerTile = 0))
+    assert(!joinU && exU == 1,
+      s"uncapped tile pipeline must be explode + ONE per-tile shuffle ($exU)")
+    // the cap's two windows share the per-tile partitioning with the final
+    // aggregation — one extra exchange total, not one per window
+    val (exC, joinC) = shape(graft.sinks.Mvt.tilePayloads(feats, (2, 4), "t"))
+    assert(!joinC && exC == 2,
+      s"capped tile pipeline must add exactly one exchange ($exC)")
+  }
+
   test("equi-join with a catalog-sized dim side broadcasts") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
