@@ -298,17 +298,25 @@ object Bench {
       }
 
     // ---- per-query timings on the driver tables ---------------------------
+    // SPARK_GRAFT_PAIR_ONLY: builder-side iteration aid — rerun just the
+    // scaling pair in a clean host window without the ~2 min query sweep
     val spark = session(cpus.toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queryList =
+      if (sys.env.contains("SPARK_GRAFT_PAIR_ONLY")) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = queryList.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // a pair-only artifact must be distinguishable from an official run
+    val pairOnlyField =
+      if (sys.env.contains("SPARK_GRAFT_PAIR_ONLY")) "\"pair_only\":true," else ""
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"spatial_join_tile_assign_images_per_sec","value":${"%.1f".format(peakThr)},"unit":"images/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${"%.3f".format(total)},"flagship":{"images":$totalImages,"rows_out":$n32,"peak_cpus":16,"peak_sec":${"%.3f".format(peakSec)},"images_per_sec_peak16":${"%.1f".format(peakThr)},"n_cpus":$LoCpus,"n4_cpus":$HiCpus,"sec_localN":${"%.3f".format(t8)},"sec_local4N":${"%.3f".format(t32)},"images_per_sec_localN":${"%.1f".format(thr8)},"images_per_sec_local4N":${"%.1f".format(thr32)},"scaling_efficiency_N_to_4N":${"%.3f".format(eff)},"eff_attempts":${sc.effAttempts.map("%.3f".format(_)).mkString("[", ",", "]")},"eff_median":${"%.3f".format(median(sc.effAttempts))},"host_steal_pct_localN":${"%.1f".format(steal8 * 100)},"host_steal_pct_local4N":${"%.1f".format(steal32 * 100)},"attempts":${sc.attempts},"cal_gate":$CalGate,"pair_4_16":$supp,"host_calibration":{"spin_1t_ms":${"%.0f".format(cal1)},"spin_${HiCpus}t_ms":${"%.0f".format(calN)},"effective_parallelism_of_$HiCpus":${"%.1f".format(calPar)}}}}""")
+      s"""{"metric":"spatial_join_tile_assign_images_per_sec",$pairOnlyField"value":${"%.1f".format(peakThr)},"unit":"images/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${"%.3f".format(total)},"flagship":{"images":$totalImages,"rows_out":$n32,"peak_cpus":16,"peak_sec":${"%.3f".format(peakSec)},"images_per_sec_peak16":${"%.1f".format(peakThr)},"n_cpus":$LoCpus,"n4_cpus":$HiCpus,"sec_localN":${"%.3f".format(t8)},"sec_local4N":${"%.3f".format(t32)},"images_per_sec_localN":${"%.1f".format(thr8)},"images_per_sec_local4N":${"%.1f".format(thr32)},"scaling_efficiency_N_to_4N":${"%.3f".format(eff)},"eff_attempts":${sc.effAttempts.map("%.3f".format(_)).mkString("[", ",", "]")},"eff_median":${"%.3f".format(median(sc.effAttempts))},"host_steal_pct_localN":${"%.1f".format(steal8 * 100)},"host_steal_pct_local4N":${"%.1f".format(steal32 * 100)},"attempts":${sc.attempts},"cal_gate":$CalGate,"pair_4_16":$supp,"host_calibration":{"spin_1t_ms":${"%.0f".format(cal1)},"spin_${HiCpus}t_ms":${"%.0f".format(calN)},"effective_parallelism_of_$HiCpus":${"%.1f".format(calPar)}}}}""")
     spark.stop()
   }
 }

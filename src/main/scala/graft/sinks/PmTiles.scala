@@ -160,6 +160,19 @@ object PmTiles {
     // tile payloads stream to a sidecar file; leaf directories to a second
     val dataTmp = Files.createTempFile(out.getParent, "pmtiles-data", ".tmp")
     val leafTmp = Files.createTempFile(out.getParent, "pmtiles-leaf", ".tmp")
+    try writePayloadsTo(perTile, out, dataTmp, leafTmp, tileType, leafSize)
+    finally {
+      // a failed job (stage kill, OOM in toLocalIterator) must not orphan
+      // the sidecars — the data one can be archive-sized
+      Files.deleteIfExists(dataTmp)
+      Files.deleteIfExists(leafTmp)
+      ()
+    }
+  }
+
+  private def writePayloadsTo(perTile: DataFrame, out: java.nio.file.Path,
+      dataTmp: java.nio.file.Path, leafTmp: java.nio.file.Path,
+      tileType: Byte, leafSize: Int): (Long, Long) = {
     val dataOut = new java.io.BufferedOutputStream(Files.newOutputStream(dataTmp))
     val leafOut = new java.io.BufferedOutputStream(Files.newOutputStream(leafTmp))
     val it = perTile.toLocalIterator()
@@ -212,12 +225,7 @@ object PmTiles {
       os.write(hdr); os.write(root); os.write(meta)
       if (leafMode) Files.copy(leafTmp, os)
       Files.copy(dataTmp, os)
-    } finally {
-      os.close()
-      Files.deleteIfExists(dataTmp)
-      Files.deleteIfExists(leafTmp)
-      ()
-    }
+    } finally os.close()
     (nTiles, dataOff + dataLen)
   }
 }

@@ -15,11 +15,14 @@ import scala.jdk.CollectionConverters._
   * property every other sink here has). */
 object Zip {
 
-  private val FixedTime = 1704067200000L // 2024-01-01T00:00:00Z
+  // setTimeLocal is timezone-independent (setTime(millis) converts through
+  // the JVM default zone — same export, different bytes per host)
+  private val FixedTime = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
 
   /** Zip `dir`'s file tree into `out` (paths relative to `dir`); skips
-    * `_SUCCESS`/`.crc` bookkeeping like the reference's uploader. Returns
-    * the entry count. */
+    * `_SUCCESS`/`.crc`/lineage bookkeeping like the reference's uploader —
+    * the archive ships format outputs, not pipeline-internal accounting.
+    * Returns the entry count. */
   def zipDir(dir: String, out: String, level: Int = 6): Long = {
     val root = Paths.get(dir)
     val files: Seq[Path] = {
@@ -27,7 +30,9 @@ object Zip {
       try s.iterator().asScala.toSeq.filter(Files.isRegularFile(_))
         .filterNot { p =>
           val n = p.getFileName.toString
-          n == "_SUCCESS" || n.endsWith(".crc")
+          val rel = root.relativize(p).toString
+          n == "_SUCCESS" || n.endsWith(".crc") ||
+            rel.split('/').contains("lineage") || rel.split('/').contains("parts")
         }
         .sortBy(p => root.relativize(p).toString)
       finally s.close()
@@ -39,7 +44,7 @@ object Zip {
     try {
       files.foreach { p =>
         val e = new ZipEntry(root.relativize(p).toString)
-        e.setTime(FixedTime)
+        e.setTimeLocal(FixedTime)
         zos.putNextEntry(e)
         val in = Files.newInputStream(p)
         try {

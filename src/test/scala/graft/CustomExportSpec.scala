@@ -129,12 +129,18 @@ class CustomExportSpec extends SparkSpec {
     val onDisk = try {
       import scala.jdk.CollectionConverters._
       walk.iterator().asScala.filter(Files.isRegularFile(_))
-        .filterNot(p => p.getFileName.toString == "_SUCCESS" ||
-          p.getFileName.toString.endsWith(".crc"))
+        .filterNot { p =>
+          val rel = catDir.relativize(p).toString
+          p.getFileName.toString == "_SUCCESS" ||
+            p.getFileName.toString.endsWith(".crc") ||
+            rel.split('/').contains("lineage") || rel.split('/').contains("parts")
+        }
         .map(p => catDir.relativize(p).toString -> Files.size(p)).toMap
     } finally walk.close()
     assert(got == onDisk, s"zip entries must mirror outputs: $got vs $onDisk")
     assert(got.keys.exists(_.endsWith("export.geojson")))
+    // pipeline-internal accounting stays out of the user-facing archive
+    assert(!got.keys.exists(k => k.split('/').contains("lineage")))
     // deterministic re-zip
     val again = s"$outDir/again.zip"
     graft.sinks.Zip.zipDir(catDir.toString, again)

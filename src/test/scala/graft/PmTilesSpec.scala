@@ -47,12 +47,11 @@ class PmTilesSpec extends SparkSpec {
       }
       v
     }
-    val nEntries = varint().toInt
+    val n = varint().toInt
     var last = 0L
-    val ids = (0 until nEntries).map { _ => last += varint(); last }
-    val runs = (0 until nEntries).map(_ => varint())
-    val lens = (0 until nEntries).map(_ => varint().toInt)
-    val n = nEntries
+    val ids = (0 until n).map { _ => last += varint(); last }
+    val runs = (0 until n).map(_ => varint())
+    val lens = (0 until n).map(_ => varint().toInt)
     var prevEnd = 0L
     val offs = (0 until n).map { i =>
       val v = varint()
