@@ -78,8 +78,8 @@ object CustomExport {
     case "json" =>
       graft.sinks.Sinks.json(df, s"$dir/json"); None
     case "shp" =>
-      Some(graft.sinks.Shapefile.write(df, s"$dir/shp", prefix = s"${table}_")
-        .values.map(_.toLong).sum)
+      Some(graft.sinks.Shapefile.writeDistributed(df, s"$dir/shp",
+        prefix = s"${table}_").values.map(_.toLong).sum)
     case "kml" =>
       // namespaced like every other format: resumable state + output live
       // under $dir/kml, never in the shared category root

@@ -81,16 +81,28 @@ object Shapefile {
       pts.flatMap { case (x, y) => led(x) ++ led(y) }.toArray
   }
 
+  /** One fixed-width dBASE record (leading space = not-deleted marker) —
+    * pure, so the distributed writer encodes it map-side byte-identically. */
+  private[sinks] def dbfRecord(vals: Seq[String], nFields: Int, width: Int): Array[Byte] = {
+    val rec = new Array[Byte](1 + nFields * width)
+    java.util.Arrays.fill(rec, ' '.toByte)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      val b = Option(v).getOrElse("").getBytes(StandardCharsets.US_ASCII)
+      System.arraycopy(b, 0, rec, 1 + i * width, math.min(b.length, width))
+    }
+    rec
+  }
+
   /** dBASE III attribute table writer, streamed record by record (every
     * column as a fixed-width character field — the reference's shp exports
     * stringify jsonb attributes too). */
   private final class DbfWriter(path: String, fieldNames: Seq[String], width: Int = 64) {
     private val names = fieldNames.map(_.replaceAll("[^A-Za-z0-9_]", "_").take(10))
-    private val recordSize = 1 + names.size * width
     private val out = new Patchable(path)
     private var n = 0
     locally {
       val headerSize = 32 + names.size * 32 + 1
+      val recordSize = 1 + names.size * width
       val h = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
       h.put(0x03.toByte).put(124.toByte).put(1.toByte).put(1.toByte) // version, YMD
       h.putInt(0) // record count — patched
@@ -106,13 +118,9 @@ object Shapefile {
       }
       out.writeBytes(Array(0x0D.toByte))
     }
-    def write(vals: Seq[String]): Unit = {
-      val rec = new Array[Byte](recordSize)
-      java.util.Arrays.fill(rec, ' '.toByte)
-      vals.zipWithIndex.foreach { case (v, i) =>
-        val b = Option(v).getOrElse("").getBytes(StandardCharsets.US_ASCII)
-        System.arraycopy(b, 0, rec, 1 + i * width, math.min(b.length, width))
-      }
+    def write(vals: Seq[String]): Unit =
+      writeRecord(dbfRecord(vals, names.size, width))
+    def writeRecord(rec: Array[Byte]): Unit = {
       out.writeBytes(rec)
       n += 1
     }
@@ -177,6 +185,41 @@ object Shapefile {
     recNo
   }
 
+  /** Driver half of the distributed writer: stream pre-encoded
+    * (shape, dbfRecord) frames into the triple — record numbering, shx
+    * framing and header patches only; the envelope comes from the parts'
+    * lineage manifests. Byte-identical to [[writeTriple]] given the same
+    * records in the same order. */
+  private def assembleTriple(base: String, st: Int, fieldNames: Seq[String],
+      frames: Iterator[(Array[Byte], Array[Byte])],
+      env: Option[Array[Double]]): Int = {
+    val shp = new Patchable(s"$base.shp")
+    val shx = new Patchable(s"$base.shx")
+    val dbf = new DbfWriter(s"$base.dbf", fieldNames)
+    shp.writeBytes(header(st))
+    shx.writeBytes(header(st))
+    var recNo = 0
+    frames.foreach { case (shape, dbfRec) =>
+      recNo += 1
+      shx.writeBytes(be((shp.written / 2).toInt) ++ be(shape.length / 2))
+      shp.writeBytes(be(recNo) ++ be(shape.length / 2) ++ shape)
+      dbf.writeRecord(dbfRec)
+    }
+    shp.flush(); shx.flush()
+    shp.patch(24, be((shp.written / 2).toInt))
+    shx.patch(24, be((shx.written / 2).toInt))
+    env.foreach { e =>
+      val bbox = led(e(0)) ++ led(e(1)) ++ led(e(2)) ++ led(e(3))
+      shp.patch(36, bbox)
+      shx.patch(36, bbox)
+    }
+    shp.close(); shx.close()
+    dbf.close()
+    Files.write(Paths.get(s"$base.prj"),
+      Wgs84Wkt.getBytes(StandardCharsets.US_ASCII))
+    recNo
+  }
+
   /** Export a feature DataFrame (kind, lon, lat, x0..y3, + attribute
     * columns) as per-kind shapefile triples under `dir`. Attribute columns =
     * everything except the geometry columns, stringified. `prefix` gives the
@@ -190,18 +233,7 @@ object Shapefile {
     // centroid/csv-shaped extracts drop the vertex columns — the shared
     // reader falls back to point geometry instead of an opaque lookup error
     val haveVerts = df.columns.contains("x0")
-    val geomOf = FeatureModel.geomReader(df.columns.toIndexedSeq)
-    require(geomOf.isDefined,
-      s"shapefile export needs lon/lat anchor columns; got ${df.columns.mkString(",")}")
-    val g = geomOf.get
-    def geometry(r: Row): Seq[(Double, Double)] = g(r) match {
-      case FeatureModel.Geom(3, pts) =>
-        // shared model gives the closed ccw quad; the shapefile spec
-        // requires cw outer rings — rewind
-        val ccw = pts.init
-        (ccw.head +: ccw.tail.reverse) :+ ccw.head
-      case FeatureModel.Geom(_, pts) => pts
-    }
+    val geometry = geometryClosure(df.columns.toIndexedSeq)
     Seq("point", "line", "polygon").map { kind =>
       val it = df.filter(df.col("kind") === kind).toLocalIterator()
       val rows = new Iterator[(Seq[(Double, Double)], Seq[String])] {
@@ -214,6 +246,84 @@ object Shapefile {
       }
       kind -> writeTriple(s"$dir/$prefix$kind", if (haveVerts) kind else "point",
         attrCols, rows)
+    }.toMap
+  }
+
+  /** The shapefile-spec geometry per row (cw-rewound outer rings);
+    * serializable, shared by the driver and distributed writers. */
+  private def geometryClosure(columns: IndexedSeq[String]): Row => Seq[(Double, Double)] = {
+    val g = FeatureModel.geomReader(columns).getOrElse(throw new IllegalArgumentException(
+      s"shapefile export needs lon/lat anchor columns; got ${columns.mkString(",")}"))
+    (r: Row) => g(r) match {
+      case FeatureModel.Geom(3, pts) =>
+        // shared model gives the closed ccw quad; the shapefile spec
+        // requires cw outer rings — rewind
+        val ccw = pts.init
+        (ccw.head +: ccw.tail.reverse) :+ ccw.head
+      case FeatureModel.Geom(_, pts) => pts
+    }
+  }
+
+  /** Distributed sibling of [[write]]: each task encodes its partition's
+    * shape records and fixed-width dBASE records map-side into committed,
+    * resumable byte parts (4-byte shape-length framing; per-part envelope
+    * in the lineage manifests); the driver streams the pre-encoded frames
+    * into the .shp/.shx/.dbf triple — record numbering and header patches
+    * only. Byte-identical to [[write]]; parts clean up after success. */
+  def writeDistributed(df0: DataFrame, dir: String, prefix: String = "",
+      failAtPartition: Int = -1): Map[String, Int] = {
+    Files.createDirectories(Paths.get(dir))
+    val df = FeatureModel.withKind(df0)
+    val attrCols = df.columns.filterNot(FeatureModel.geomCols).toSeq
+    val idx = df.columns.zipWithIndex.toMap
+    val attrIdxs = attrCols.map(idx)
+    val haveVerts = df.columns.contains("x0")
+    val geometry = geometryClosure(df.columns.toIndexedSeq)
+    val dbfWidth = 64
+    val nFields = attrCols.size
+    Seq("point", "line", "polygon").map { kind =>
+      val st = kindShapeType(if (haveVerts) kind else "point")
+      val encode = (r: Row) => {
+        val pts = geometry(r)
+        val shape = if (st == 1) pointShape(pts.head._1, pts.head._2)
+          else polyShape(st, pts)
+        val dbfRec = dbfRecord(
+          attrIdxs.map(i => Option(r.get(i)).map(_.toString).orNull),
+          nFields, dbfWidth)
+        ByteBuffer.allocate(4).putInt(shape.length).array() ++ shape ++ dbfRec
+      }
+      val stateDir = s"$dir/.$prefix$kind.state"
+      val part = df.filter(df.col("kind") === kind)
+      graft.lineage.Lineage.exportResumableBytes(part, stateDir, encode,
+        ext = "shpart", failAtPartition = failAtPartition,
+        coords = Some((r: Row) => geometry(r)))
+      val dbfRecSize = 1 + nFields * dbfWidth
+      val frames: Iterator[(Array[Byte], Array[Byte])] =
+        graft.lineage.Lineage.committedPartFiles(stateDir, "shpart").iterator
+          .flatMap { p =>
+            val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+              Files.newInputStream(p)))
+            new Iterator[(Array[Byte], Array[Byte])] {
+              private var nextLen = readLen()
+              private def readLen(): Int =
+                try in.readInt()
+                catch { case _: java.io.EOFException => in.close(); -1 }
+              def hasNext: Boolean = nextLen >= 0
+              def next(): (Array[Byte], Array[Byte]) = {
+                val shape = new Array[Byte](nextLen)
+                in.readFully(shape)
+                val dbfRec = new Array[Byte](dbfRecSize)
+                in.readFully(dbfRec)
+                nextLen = readLen()
+                (shape, dbfRec)
+              }
+            }
+          }
+      val env = graft.lineage.Lineage.partEnvelope(stateDir)
+      val n = assembleTriple(s"$dir/$prefix$kind", st, attrCols, frames, env)
+      graft.lineage.Lineage.finish(df.sparkSession, stateDir)
+      graft.lineage.Lineage.cleanParts(stateDir)
+      kind -> n
     }.toMap
   }
 }
