@@ -36,12 +36,24 @@ object MbTiles {
       extraMeta = Seq("json" -> vectorLayersJson(features, zooms, name)))
 
   /** MBTiles 1.3 `json` metadata (required when format=pbf): the vector
-    * layer inventory tile readers use for styling. */
+    * layer inventory tile readers use for styling. Field types follow the
+    * TileJSON vocabulary (Number/Boolean/String) and mirror what the MVT
+    * encoder actually emits per Spark type — typed clients (MapLibre style
+    * expressions) rely on this inventory. */
   def vectorLayersJson(features: DataFrame, zooms: (Int, Int), name: String): String = {
+    import org.apache.spark.sql.types._
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val attrCols = FeatureModel.prepare(features).columns
-      .filterNot(FeatureModel.geomCols)
-    val fields = attrCols.map(c => s""""${esc(c)}":"String"""").mkString(",")
+    val prepared = FeatureModel.prepare(features)
+    val attrCols = prepared.columns.filterNot(FeatureModel.geomCols)
+    def tileJsonType(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType | _: DecimalType => "Number"
+      case BooleanType => "Boolean"
+      case _ => "String"
+    }
+    val fields = attrCols
+      .map(c => s""""${esc(c)}":"${tileJsonType(prepared.schema(c).dataType)}"""")
+      .mkString(",")
     s"""{"vector_layers":[{"id":"${esc(name)}","minzoom":${zooms._1},"maxzoom":${zooms._2},"fields":{$fields}}]}"""
   }
 

@@ -64,6 +64,16 @@ object Mvt {
 
   // ---- typed attribute values (Value message) ------------------------------
 
+  /** Canonical deterministic string form of an attribute value — the JVM
+    * toString of Array[Byte] is an identity hash (garbage that also differs
+    * across runs), so anything that orders or dedups values goes through
+    * this instead. */
+  def canonicalString(v: Any): String = v match {
+    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    case s: scala.collection.Seq[_] => s.mkString("[", ",", "]")
+    case other => String.valueOf(other)
+  }
+
   /** Value oneof: string=1, double=3, int=4, bool=7 — the four the engine's
     * attribute model produces (FlatGeobuf/Gpkg parity via Number). */
   def encodeValue(v: Any): Array[Byte] = {
@@ -77,11 +87,9 @@ object Mvt {
       case n: java.lang.Double => p.doubleField(3, n.doubleValue())
       case n: java.lang.Float => p.doubleField(3, n.doubleValue())
       case n: java.math.BigDecimal => p.doubleField(3, n.doubleValue())
-      // MVT Value has no binary/list variants — encode deterministically
-      // (JVM toString of an array is an identity hash: garbage that also
-      // differs across runs)
-      case b: Array[Byte] => p.strField(1, java.util.Base64.getEncoder.encodeToString(b))
-      case s: scala.collection.Seq[_] => p.strField(1, s.mkString("[", ",", "]"))
+      // MVT Value has no binary/list variants — encode the canonical string
+      case b: Array[Byte] => p.strField(1, canonicalString(b))
+      case s: scala.collection.Seq[_] => p.strField(1, canonicalString(s))
       case other => p.strField(1, String.valueOf(other))
     }
     p.bytes
@@ -93,7 +101,7 @@ object Mvt {
     * points (the points) / lines (the vertices) / polygon rings (UNclosed —
     * ClosePath closes them on the wire). */
   final case class Feature(
-      id: Long, gtype: Int, rings: Seq[IndexedSeq[(Long, Long)]],
+      id: Option[Long], gtype: Int, rings: Seq[IndexedSeq[(Long, Long)]],
       attrs: Seq[(String, Any)])
 
   /** Signed area ×2 in screen coordinates (y down). MVT v2 requires exterior
@@ -167,13 +175,19 @@ object Mvt {
     * features). Features are emitted in the given order. */
   def encodeLayer(name: String, extent: Int, features: Seq[Feature]): Array[Byte] = {
     val keys = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    val values = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+    // dictionary keyed on the ENCODED value (value equality — Array[Byte]
+    // attribute values would otherwise compare by reference and never dedup)
+    val values = scala.collection.mutable.LinkedHashMap.empty[Seq[Byte], Int]
     val featBytes = features.map { f =>
       val p = new Pbf
-      p.varintField(1, f.id)
+      // id is optional in MVT v2.1 and must be unique within the layer when
+      // present — omit it rather than emitting duplicate zeros
+      f.id.foreach(p.varintField(1, _))
       val tags = f.attrs.flatMap { case (k, v) =>
         val ki = keys.getOrElseUpdate(k, keys.size)
-        val vi = values.getOrElseUpdate(v, values.size)
+        val vi = values.getOrElseUpdate(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(encodeValue(v)),
+          values.size)
         Seq(ki.toLong, vi.toLong)
       }
       p.packedField(2, tags)
@@ -186,7 +200,7 @@ object Mvt {
     layer.strField(1, name)
     featBytes.foreach(layer.bytesField(2, _))
     keys.keys.foreach(layer.strField(3, _))
-    values.keys.foreach(v => layer.bytesField(4, encodeValue(v)))
+    values.keys.foreach(v => layer.bytesField(4, v.toArray))
     layer.varintField(5, extent.toLong)
     layer.bytes
   }
@@ -294,14 +308,16 @@ object Mvt {
           attrCols(i) -> (if (a.isNullAt(i)) "" else a.get(i))
         }
         val id = if (idIdx >= 0 && !a.isNullAt(idIdx))
-          a.get(idIdx) match { case l: Long => l; case i: Int => i.toLong; case _ => 0L }
-        else 0L
+          a.get(idIdx) match {
+            case l: Long => Some(l); case i: Int => Some(i.toLong); case _ => None }
+        else None
         Feature(id, gtype, rings, attrs)
-      // collect_list order is nondeterministic; fix it (id, attr values,
-      // then geometry for attr-less frames) so re-runs produce
-      // byte-identical tiles
-      }.sortBy(f => (f.id,
-        f.attrs.map(_._2.toString).mkString(" "), f.rings.toString))
+      // collect_list order is nondeterministic; fix it (id, canonical attr
+      // values — binary attrs would toString to identity hashes — then
+      // geometry for attr-less frames) so re-runs produce byte-identical
+      // tiles
+      }.sortBy(f => (f.id.getOrElse(Long.MinValue),
+        f.attrs.map(kv => canonicalString(kv._2)).mkString(" "), f.rings.toString))
       (z, tx, ty, gzip(encodeTile(layerName, extent, feats)))
     }(enc).toDF("z", "tx", "ty", "payload")
   }

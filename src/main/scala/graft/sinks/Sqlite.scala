@@ -356,12 +356,20 @@ final class Sqlite(path: String, pageSize: Int = 4096) {
         var level = leaves
         while (level.size > fanout1) {
           val groups0 = level.grouped(fanout).toVector
-          val groups =
+          val groups1 =
             if (groups0.size > 1 && groups0.last.size == 1) {
               val split = groups0(groups0.size - 2) ++ groups0.last
               val half = split.size / 2
               groups0.dropRight(2) :+ split.take(half) :+ split.drop(half)
             } else groups0
+          // a single group here means fanout1 < level.size <= fanout: one
+          // interior page would leave page 1 a zero-cell root (the construct
+          // leaves are split to avoid) — split so the root carries >= 1 cell
+          val groups =
+            if (groups1.size == 1) {
+              val half = groups1.head.size / 2
+              Vector(groups1.head.take(half), groups1.head.drop(half))
+            } else groups1
           level = groups.map { g =>
             val p = allocPage()
             writePage(p, serializeInterior(g.init, g.last._1))

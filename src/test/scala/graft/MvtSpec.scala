@@ -167,11 +167,11 @@ class MvtSpec extends SparkSpec {
 
   test("hand-built tile round-trips through the independent decoder") {
     val fs = Seq(
-      Mvt.Feature(1, 1, Seq(IndexedSeq((10L, 20L), (30L, 15L))),
+      Mvt.Feature(Some(1L), 1, Seq(IndexedSeq((10L, 20L), (30L, 15L))),
         Seq("name" -> "alpha", "n" -> 42L)),
-      Mvt.Feature(2, 2, Seq(IndexedSeq((0L, 0L), (5L, 5L), (5L, 10L))),
+      Mvt.Feature(Some(2L), 2, Seq(IndexedSeq((0L, 0L), (5L, 5L), (5L, 10L))),
         Seq("name" -> "beta", "d" -> 1.5)),
-      Mvt.Feature(3, 3, Seq(IndexedSeq((0L, 0L), (0L, 10L), (10L, 10L), (10L, 0L))),
+      Mvt.Feature(Some(3L), 3, Seq(IndexedSeq((0L, 0L), (0L, 10L), (10L, 10L), (10L, 0L))),
         Seq("flag" -> true)))
     val layers = decodeTile(Mvt.encodeTile("export", 4096, fs))
     assert(layers.size == 1)
@@ -201,10 +201,10 @@ class MvtSpec extends SparkSpec {
     // zero-area rings / zero-length segments are invalid MVT, so the
     // encoder must emit the tiny-geometry reductions instead
     val fs = Seq(
-      Mvt.Feature(1, 3, Seq(IndexedSeq((7L, 9L), (7L, 9L), (7L, 9L), (7L, 9L))), Nil),
-      Mvt.Feature(2, 2, Seq(IndexedSeq((3L, 4L), (3L, 4L), (3L, 4L))), Nil),
+      Mvt.Feature(Some(1L), 3, Seq(IndexedSeq((7L, 9L), (7L, 9L), (7L, 9L), (7L, 9L))), Nil),
+      Mvt.Feature(Some(2L), 2, Seq(IndexedSeq((3L, 4L), (3L, 4L), (3L, 4L))), Nil),
       // collinear (zero-area but distinct) polygon also reduces
-      Mvt.Feature(3, 3, Seq(IndexedSeq((0L, 0L), (2L, 0L), (4L, 0L), (2L, 0L))), Nil))
+      Mvt.Feature(Some(3L), 3, Seq(IndexedSeq((0L, 0L), (2L, 0L), (4L, 0L), (2L, 0L))), Nil))
     val l = decodeTile(Mvt.encodeTile("t", 4096, fs)).head
     val Seq(pg, ln, col) = l.features
     val pgRing = decodeGeometry(pg.geom).head
@@ -221,7 +221,7 @@ class MvtSpec extends SparkSpec {
   test("value encoding covers the numeric widths via Number routing") {
     def rt(v: Any): Any = {
       val layers = decodeTile(Mvt.encodeTile("t", 4096,
-        Seq(Mvt.Feature(1, 1, Seq(IndexedSeq((0L, 0L))), Seq("v" -> v)))))
+        Seq(Mvt.Feature(Some(1L), 1, Seq(IndexedSeq((0L, 0L))), Seq("v" -> v)))))
       layers.head.attrs(layers.head.features.head)("v")
     }
     assert(rt(7) == 7L)
