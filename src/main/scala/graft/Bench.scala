@@ -81,12 +81,12 @@ object Bench {
       geometry = graft.geo.MultiPolygon(Seq(benchPolygon)),
       geometryTypes = GeomType.all)
     // kind-aware intersect filter first (cheap, pushes selectivity ahead of
-    // the decode); vertex columns are ingest-time stored, so the predicate
+    // the decode); geometry columns are ingest-time stored, so the predicate
     // stays attribute-sized (no scan-time hash-chain inlining)
     val extracted = images
       .filter(PlanBuilder.geometryFilter(
         req.geometry, col("kind"), col("lon"), col("lat"), col("cell"),
-        (0 to 3).map(i => col(s"x$i")), (0 to 3).map(i => col(s"y$i"))))
+        col("rings")))
       .select(col("image_id"), col("lon"), col("lat"), col("cell"),
         col("bytes"), col("phash"))
     val decoded = graft.operators.Multimodal.verifyPayloadLite(extracted)
@@ -233,10 +233,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     // ---- fixture (one-time; deterministic, reused across rounds; regen
-    // when the stored schema predates the vertex columns) -------------------
+    // when the stored schema predates the rings geometry model) -------------
     val gen = session(cpus.toInt)
     val needGen = !new java.io.File(s"$FixtureDir/data/_SUCCESS").exists() ||
-      !ImageFixture.read(gen, FixtureDir).columns.contains("x0")
+      !ImageFixture.read(gen, FixtureDir).columns.contains("rings")
     if (needGen) ImageFixture.write(gen, FixtureN, FixtureDir, partitions = 128)
     // total images the pipeline processes (the throughput denominator is the
     // full table scanned, as in the reference's country-export sweep)

@@ -60,7 +60,7 @@ object BenchProbe {
       val extracted = images
         .filter(PlanBuilder.geometryFilter(
           req.geometry, col("kind"), col("lon"), col("lat"), col("cell"),
-          (0 to 3).map(i => col(s"x$i")), (0 to 3).map(i => col(s"y$i"))))
+          col("rings")))
         .select(col("image_id"), col("lon"), col("lat"), col("cell"),
           col("bytes"), col("phash"))
       time("extract (PIP)")(extracted.count())

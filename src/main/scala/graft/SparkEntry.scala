@@ -150,6 +150,42 @@ object SparkEntry {
       .select(col("image_id"), col("osm_type"), col("parity"), col("lon"), col("lat"))
   }
 
+  /** §2.8 ST_Area analogue over the arbitrary-vertex model: signed planar
+    * area (deg²) of every polygon feature — holes subtract, MultiPolygon
+    * parts add (the reference's geodesic-area guard role, but per-feature;
+    * API/raw_data.py:421-432). */
+  private def geoArea(s: SparkSession, dir: String): DataFrame =
+    GeoCols.derivedFeatures(s, dir)
+      .filter(col("kind") === "polygon")
+      .select(col("image_id"),
+        round(GeoCols.areaRingsUdf(col("rings")), 6).as("area_deg2"))
+
+  /** Structural witness of the arbitrary-vertex generation: per-feature
+    * ring/hole/part/vertex counts — certifies the engine-side geometry
+    * matches the oracle's list construction element-for-element. */
+  private def geoRingStats(s: SparkSession, dir: String): DataFrame =
+    GeoCols.derivedFeatures(s, dir).select(
+      col("image_id"), col("kind"),
+      size(col("rings")).as("n_rings"),
+      size(filter(col("roles"), r => r === 1)).as("n_holes"),
+      size(filter(col("roles"), r => r === 0)).as("n_parts"),
+      floor(aggregate(col("rings"), lit(0), (a, r) => a + size(r)) / 2)
+        .cast("long").as("n_vertices"))
+
+  /** The geometrytype(geom)='MULTIPOLYGON' branch (builder.py:713-714):
+    * multi-part polygon features intersecting the request polygon, with
+    * part counts and signed area. */
+  private def geoMultipolyExtract(s: SparkSession, dir: String): DataFrame = {
+    val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
+    GeoCols.derivedFeatures(s, dir)
+      .filter(col("kind") === "polygon")
+      .filter(size(filter(col("roles"), r => r === 0)) > 1)
+      .filter(PlanBuilder.geometryFilter(geom, col("kind"), col("lon"),
+        col("lat"), col("cell"), col("rings")))
+      .select(col("image_id"), size(col("rings")).as("n_rings"),
+        round(GeoCols.areaRingsUdf(col("rings")), 6).as("area_deg2"))
+  }
+
   /** F16 freeform where-DSL through the full plan path (models.py:408-412,
     * app.py:1298-1315): parsed by WhereParser, compiled to Columns — never
     * raw expr() on untrusted text. */
@@ -386,6 +422,9 @@ object SparkEntry {
     "geo_tile" -> ((s, d) => geoTile(s, d)),
     "geo_knn" -> ((s, d) => geoKnn(s, d)),
     "geo_multi_extract" -> ((s, d) => geoMultiExtract(s, d)),
+    "geo_area" -> ((s, d) => geoArea(s, d)),
+    "geo_ring_stats" -> ((s, d) => geoRingStats(s, d)),
+    "geo_multipoly_extract" -> ((s, d) => geoMultipolyExtract(s, d)),
     "geo_centroid" -> ((s, d) => geoCentroid(s, d)),
     "export_category" -> ((s, d) => exportCategory(s, d)),
     "f16_where_dsl" -> ((s, d) => f16WhereDsl(s, d)),
@@ -445,7 +484,6 @@ object SparkEntry {
          |SELECT pid AS image_id, (pid % 7)::VARCHAR AS parity
          |FROM pts WHERE pid % 3 = 0""".stripMargin,
     "polygon_stats" -> {
-      val xs = (0 to 3).map(i => s"x$i"); val ys = (0 to 3).map(i => s"y$i")
       val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
       s"""WITH pts AS ($P),
          |f AS (${GeoCols.featuresSql})
@@ -453,7 +491,7 @@ object SparkEntry {
          |  COUNT(DISTINCT (pid % 7)::VARCHAR) AS n_parity,
          |  round(MIN(lon), 6) AS min_lon, round(MAX(lon), 6) AS max_lon
          |FROM f
-         |WHERE ${GeoCols.featureIntersectsSql(geom, "kind", "lon", "lat", xs, ys)}
+         |WHERE ${GeoCols.featureIntersectsRingsSql(geom, "kind", "lon", "lat", "rings")}
          |GROUP BY kind""".stripMargin
     },
     "status_watermark" ->
@@ -546,54 +584,73 @@ object SparkEntry {
     "geo_tile" -> SpatialJoin.tileAssignOracleSql(2, 4),
     "geo_knn" -> Knn.knnOracleSql(Fixtures.knnQueries, 8),
     "geo_multi_extract" -> {
-      val xs = (0 to 3).map(i => s"x$i"); val ys = (0 to 3).map(i => s"y$i")
       val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
       s"""WITH pts AS ($P),
          |f AS (${GeoCols.featuresSql})
          |SELECT pid AS image_id, kind AS osm_type, (pid % 7)::VARCHAR AS parity,
          |  lon, lat
          |FROM f
-         |WHERE ${GeoCols.featureIntersectsSql(geom, "kind", "lon", "lat", xs, ys)}
+         |WHERE ${GeoCols.featureIntersectsRingsSql(geom, "kind", "lon", "lat", "rings")}
          |  AND (pid % 7)::VARCHAR IN ('1', '3', '5')""".stripMargin
     },
-    "geo_centroid" -> {
-      val xs = (0 to 3).map(i => s"x$i"); val ys = (0 to 3).map(i => s"y$i")
+    "geo_area" ->
+      s"""WITH pts AS ($P),
+         |f AS (${GeoCols.featuresSql})
+         |SELECT pid AS image_id, round(${GeoCols.areaRingsSql("rings")}, 6) AS area_deg2
+         |FROM f WHERE kind = 'polygon'""".stripMargin,
+    "geo_ring_stats" ->
+      s"""WITH pts AS ($P),
+         |f AS (${GeoCols.featuresSql})
+         |SELECT pid AS image_id, kind,
+         |  len(rings) AS n_rings,
+         |  len(list_filter(roles, x -> x = 1)) AS n_holes,
+         |  len(list_filter(roles, x -> x = 0)) AS n_parts,
+         |  COALESCE(list_sum(list_transform(rings, r -> len(r))), 0) // 2 AS n_vertices
+         |FROM f""".stripMargin,
+    "geo_multipoly_extract" -> {
       val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
-      val (clon, clat) = GeoCols.centroidSql("kind", "lon", "lat", xs, ys)
+      s"""WITH pts AS ($P),
+         |f AS (${GeoCols.featuresSql})
+         |SELECT pid AS image_id, len(rings) AS n_rings,
+         |  round(${GeoCols.areaRingsSql("rings")}, 6) AS area_deg2
+         |FROM f
+         |WHERE kind = 'polygon' AND len(list_filter(roles, x -> x = 0)) > 1
+         |  AND ${GeoCols.featureIntersectsRingsSql(geom, "kind", "lon", "lat", "rings")}""".stripMargin
+    },
+    "geo_centroid" -> {
+      val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
+      val (clon, clat) = GeoCols.centroidRingsSql("kind", "lon", "lat", "rings")
       s"""WITH pts AS ($P),
          |f AS (${GeoCols.featuresSql})
          |SELECT pid AS image_id, kind AS osm_type, (pid % 7)::VARCHAR AS parity,
          |  round($clon, 6) AS clon, round($clat, 6) AS clat
          |FROM f
-         |WHERE ${GeoCols.featureIntersectsSql(geom, "kind", "lon", "lat", xs, ys)}""".stripMargin
+         |WHERE ${GeoCols.featureIntersectsRingsSql(geom, "kind", "lon", "lat", "rings")}""".stripMargin
     },
     "export_category" -> {
-      val xs = (0 to 3).map(i => s"x$i"); val ys = (0 to 3).map(i => s"y$i")
       val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
       s"""WITH pts AS ($P),
          |f AS (${GeoCols.featuresSql})
          |SELECT pid AS image_id, kind AS osm_type, (pid % 7)::VARCHAR AS parity,
          |  lon, lat
          |FROM f
-         |WHERE ${GeoCols.featureIntersectsSql(geom, "kind", "lon", "lat", xs, ys)}
+         |WHERE ${GeoCols.featureIntersectsRingsSql(geom, "kind", "lon", "lat", "rings")}
          |  AND kind IN ('line', 'polygon')
          |  AND (pid % 7)::VARCHAR IN ('2', '4')""".stripMargin
     },
     "f16_where_dsl" -> {
-      val xs = (0 to 3).map(i => s"x$i"); val ys = (0 to 3).map(i => s"y$i")
       val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
       s"""WITH pts AS ($P),
          |f AS (${GeoCols.featuresSql})
          |SELECT pid AS image_id, kind AS osm_type, (pid % 7)::VARCHAR AS parity,
          |  lon, lat
          |FROM f
-         |WHERE ${GeoCols.featureIntersectsSql(geom, "kind", "lon", "lat", xs, ys)}
+         |WHERE ${GeoCols.featureIntersectsRingsSql(geom, "kind", "lon", "lat", "rings")}
          |  AND ((pid % 7)::VARCHAR IN ('0', '6') OR (pid % 7)::VARCHAR = '3')""".stripMargin
     },
     "geo_pertype_union" -> {
-      val xs = (0 to 3).map(i => s"x$i"); val ys = (0 to 3).map(i => s"y$i")
       val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
-      val hit = GeoCols.featureIntersectsSql(geom, "kind", "lon", "lat", xs, ys)
+      val hit = GeoCols.featureIntersectsRingsSql(geom, "kind", "lon", "lat", "rings")
       s"""WITH pts AS ($P),
          |f AS (${GeoCols.featuresSql})
          |SELECT pid AS image_id, kind AS osm_type, (pid % 7)::VARCHAR AS parity,

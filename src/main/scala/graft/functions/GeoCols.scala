@@ -164,51 +164,153 @@ object GeoCols {
     s"LEAST(${n - 1}, GREATEST(0, CAST(FLOOR((1.0 - LN(TAN(RADIANS($latE)) + 1.0/COS(RADIANS($latE))) / PI()) / 2.0 * $n.0) AS BIGINT)))"
   }
 
-  // ---- non-point features (line / polygon) ----------------------------------
-  // The reference routes real linestrings/polygons (backend/raw.lua:128-180)
-  // and filters by geometrytype (builder.py:685, :713-714). Our features carry
-  // four vertex columns (x0,y0..x3,y3) whose meaning depends on `kind`:
-  //   point   — all vertices equal the anchor (lon, lat);
-  //   line    — open polyline v0=anchor, v1, v2 (2 segments);
-  //   polygon — a ccw star quad around the anchor (E, N, W, S points).
-  // Vertex offsets are bounded (< one res-7 cell per axis) so the coarse cell
-  // prefilter needs only a 1-ring expansion of the polygon cover.
+  // ---- arbitrary-vertex features (rings / roles model) ----------------------
+  // The reference routes real OSM geometry: ways with arbitrary vertex
+  // counts, relations assembled into multipolygon areas (backend/raw.lua:
+  // 128-180), and geometrytype branches including MULTILINESTRING /
+  // MULTIPOLYGON (builder.py:685, :713-714). Features carry two columns:
+  //   rings  array<array<double>>  flat xy rings [x0,y0,x1,y1,...], UNclosed
+  //   roles  array<int>            0 = outer ring / line part, 1 = hole of
+  //                                the preceding outer
+  // `kind` routes semantics: point (no rings), line (open polylines,
+  // multiple role-0 parts = MultiLineString), polygon (closed rings,
+  // multiple role-0 rings = MultiPolygon parts; shells CCW, holes CW).
+  // All vertex offsets are bounded (|dlon| <= 1.7 < 2.8125, |dlat| <= 0.93
+  // < 1.40625 — under one res-7 cell per axis) so the coarse cell prefilter
+  // still needs only a 1-ring expansion of the request cover.
 
-  /** Vertex columns from generic offset providers: `du(i)` signed unit in
-    * (-1,1], `uu(i)` unit in [0,1). Shared by the lineitem-derived features
-    * (integer-arithmetic twins, [[derivedFeatures]]) and the images table
-    * (hash-based, ImageTable). Returns x0,y0,...,x3,y3 in order. */
-  def vertexCols(kind: Column, lon: Column, lat: Column,
-      du: Int => Column, uu: Int => Column): Seq[(String, Column)] = {
-    def r(i: Int) = lit(0.15) + lit(0.5) * uu(i) // quad radius in [0.15, 0.65)
-    val isLine = kind === "line"
-    val isPoly = kind === "polygon"
-    val x1l = lon + lit(0.8) * du(1)
-    val y1l = lat + lit(0.5) * du(2)
-    Seq(
-      "x0" -> when(isPoly, lon + r(1)).otherwise(lon),
-      "y0" -> lat,
-      "x1" -> when(isLine, x1l).otherwise(lon),
-      "y1" -> when(isLine, y1l).when(isPoly, lat + lit(0.7) * r(2)).otherwise(lat),
-      "x2" -> when(isLine, x1l + lit(0.8) * du(3)).when(isPoly, lon - r(3)).otherwise(lon),
-      "y2" -> when(isLine, y1l + lit(0.5) * du(4)).otherwise(lat),
-      "x3" -> lon,
-      "y3" -> when(isPoly, lat - lit(0.7) * r(4)).otherwise(lat))
+  /** 16 unit-circle directions (cos/sin of k*pi/8 as 4-dp literals — literal
+    * parity with the SQL twin instead of cross-engine trig parity), CCW. */
+  val DirX: IndexedSeq[Double] = IndexedSeq(
+    1.0, 0.9239, 0.7071, 0.3827, 0.0, -0.3827, -0.7071, -0.9239,
+    -1.0, -0.9239, -0.7071, -0.3827, 0.0, 0.3827, 0.7071, 0.9239)
+  val DirY: IndexedSeq[Double] = IndexedSeq(
+    0.0, 0.3827, 0.7071, 0.9239, 1.0, 0.9239, 0.7071, 0.3827,
+    0.0, -0.3827, -0.7071, -0.9239, -1.0, -0.9239, -0.7071, -0.3827)
+
+  private def dirXArr: Column = array(DirX.map(lit): _*)
+  private def dirYArr: Column = array(DirY.map(lit): _*)
+  private def dirXList: String = DirX.mkString("(([", ", ", "])::DOUBLE[])")
+  private def dirYList: String = DirY.mkString("(([", ", ", "])::DOUBLE[])")
+
+  // unit-draw / structure-selector constants (primes; pid * UA stays far
+  // from Long overflow at every test SF)
+  val UA = 67867967L
+  val UB = 15485863L
+
+  /** Unit draw in [0,1) for (pid, k) — pure integer arithmetic, twin of
+    * [[uPidSql]]. */
+  def uPidCol(pid: Column)(k: Column): Column =
+    ((pid * lit(UA) + k.cast("long") * lit(UB)) % lit(1000000L))
+      .cast("double") / lit(1000000.0)
+
+  def uPidSql(kE: String): String =
+    s"((pid * $UA + ($kE) * $UB) % 1000000)/1000000.0"
+
+  /** Structure selector in [0, base) for (pid, salt). */
+  def mPidCol(pid: Column)(base: Int, salt: Int): Column =
+    ((pid + lit(37L * salt)) % lit(base.toLong)).cast("int")
+
+  def mPidSql(base: Int, salt: Int): String = s"((pid + ${37L * salt}) % $base)"
+
+  /** One star-shaped flat ring around (cx, cy): n vertices, direction
+    * d_i = floor(i*16/n) through [[DirX]]/[[DirY]] (reversed when `dirRev`
+    * — holes wind CW against CCW shells), radius rBase + rSpan*u(uOff+i),
+    * lat squashed 0.7. Strictly increasing directions + positive radii =
+    * simple (non-self-intersecting) by construction. */
+  private def starRingCol(cx: Column, cy: Column, n: Column, dirRev: Boolean,
+      rBase: Double, rSpan: Double, uOff: Int, u: Column => Column): Column =
+    flatten(transform(sequence(lit(0), n - 1), i => {
+      val d0 = floor(i * lit(16) / n).cast("int")
+      val d = if (dirRev) lit(15) - d0 else d0
+      val r = lit(rBase) + lit(rSpan) * u(lit(uOff) + i)
+      array(cx + r * element_at(dirXArr, d + 1),
+        cy + lit(0.7) * r * element_at(dirYArr, d + 1))
+    }))
+
+  private def starRingSql(cxE: String, cyE: String, nE: String, dirRev: Boolean,
+      rBase: Double, rSpan: Double, uOff: Int): String = {
+    val d0 = s"CAST(FLOOR((i * 16) / ($nE)) AS BIGINT)"
+    val d = if (dirRev) s"(15 - $d0)" else d0
+    val r = s"($rBase + $rSpan * (${uPidSql(s"$uOff + i")}))"
+    s"flatten(list_transform(range(0, $nE), i -> [" +
+      s"$cxE + $r * $dirXList[$d + 1], " +
+      s"$cyE + 0.7 * $r * $dirYList[$d + 1]]))"
   }
 
-  // deterministic offset constants for the lineitem-derived features (primes;
-  // pid * C stays far from Long overflow at every test SF)
-  val DuMuls: Seq[Long] = Seq(1299709L, 15485863L, 32452843L, 49979687L)
-  val UuMuls: Seq[Long] = Seq(67867967L, 86028121L, 104395301L, 122949823L)
+  /** Open polyline: v0 = (cx,cy) when `anchored`; every other vertex an
+    * absolute draw cx +- ampX, cy +- ampY. */
+  private def zigzagLineCol(cx: Column, cy: Column, n: Column, anchored: Boolean,
+      ampX: Double, ampY: Double, uOffX: Int, uOffY: Int,
+      u: Column => Column): Column =
+    flatten(transform(sequence(lit(0), n - 1), i => {
+      val x = cx + lit(ampX) * (u(lit(uOffX) + i) * lit(2.0) - lit(1.0))
+      val y = cy + lit(ampY) * (u(lit(uOffY) + i) * lit(2.0) - lit(1.0))
+      if (anchored)
+        array(when(i === 0, cx).otherwise(x), when(i === 0, cy).otherwise(y))
+      else array(x, y)
+    }))
 
-  private def duPid(pid: Column, i: Int): Column =
-    ((pid * lit(DuMuls(i - 1))) % lit(2000001L)).cast("double") / lit(1000000.0) - lit(1.0)
-  private def uuPid(pid: Column, i: Int): Column =
-    ((pid * lit(UuMuls(i - 1))) % lit(1000000L)).cast("double") / lit(1000000.0)
-  private def duPidSql(i: Int): String =
-    s"((pid * ${DuMuls(i - 1)}) % 2000001)/1000000.0 - 1.0"
-  private def uuPidSql(i: Int): String =
-    s"((pid * ${UuMuls(i - 1)}) % 1000000)/1000000.0"
+  private def zigzagLineSql(cxE: String, cyE: String, nE: String, anchored: Boolean,
+      ampX: Double, ampY: Double, uOffX: Int, uOffY: Int): String = {
+    val x = s"$cxE + $ampX * ((${uPidSql(s"$uOffX + i")}) * 2.0 - 1.0)"
+    val y = s"$cyE + $ampY * ((${uPidSql(s"$uOffY + i")}) * 2.0 - 1.0)"
+    val xe = if (anchored) s"CASE WHEN i = 0 THEN $cxE ELSE $x END" else x
+    val ye = if (anchored) s"CASE WHEN i = 0 THEN $cyE ELSE $y END" else y
+    s"flatten(list_transform(range(0, $nE), i -> [$xe, $ye]))"
+  }
+
+  /** The rings/roles geometry columns from generic providers (`u`: unit draw
+    * by index column; `m`: structure selector by (base, salt)) — shared by
+    * the lineitem-derived features ([[derivedFeatures]], SQL twin
+    * [[featuresSql]]) and the images table (hash providers, ImageTable).
+    *
+    * Structure (all offsets bounded, see header):
+    *  - polygon: star shell of 5+m(8,0) vertices (5..12), r in [0.15,0.65);
+    *    + hole when m(3,1)=0: 4+m(4,2) vertices CW, r in [0.03,0.08)
+    *      (strictly inside the shell's ~0.103 inscribed squashed radius);
+    *    + second part when m(4,3)=0: shell of 4+m(7,4) vertices at
+    *      (+1.3,+0.65), r in [0.1,0.4) (disjoint from part 1: x-gap
+    *      1.3-0.65-0.4 = 0.25);
+    *  - line: anchored zigzag of 3+m(7,5) vertices (amp 1.0 lon, 0.5 lat);
+    *    + second part when m(3,6)=0: 2+m(3,7) vertices around (+0.6,+0.3)
+    *      (amp 0.8, 0.4) — a MultiLineString;
+    *  - point: empty arrays.
+    *
+    * Selector bases are chosen so every branch actually fires within each
+    * pid%10 kind class (a base-5 selector can never fire on the line class
+    * pid%10 IN (6,7), whose pids cover only {1,2} mod 5). */
+  def featureGeomCols(kind: Column, lon: Column, lat: Column,
+      u: Column => Column, m: (Int, Int) => Column): Seq[(String, Column)] = {
+    val emptyRings = array().cast("array<array<double>>")
+    val emptyRoles = array().cast("array<int>")
+    val shell = starRingCol(lon, lat, lit(5) + m(8, 0), dirRev = false, 0.15, 0.5, 100, u)
+    val hasHole = m(3, 1) === 0
+    val hole = starRingCol(lon, lat, lit(4) + m(4, 2), dirRev = true, 0.03, 0.05, 200, u)
+    val hasPart2 = m(4, 3) === 0
+    val part2 = starRingCol(lon + lit(1.3), lat + lit(0.65), lit(4) + m(7, 4),
+      dirRev = false, 0.1, 0.3, 300, u)
+    val polyRings = concat(array(shell),
+      when(hasHole, array(hole)).otherwise(emptyRings),
+      when(hasPart2, array(part2)).otherwise(emptyRings))
+    val polyRoles = concat(array(lit(0)),
+      when(hasHole, array(lit(1))).otherwise(emptyRoles),
+      when(hasPart2, array(lit(0))).otherwise(emptyRoles))
+    val lineMain = zigzagLineCol(lon, lat, lit(3) + m(7, 5), anchored = true,
+      1.0, 0.5, 400, 500, u)
+    val hasLine2 = m(3, 6) === 0
+    val line2 = zigzagLineCol(lon + lit(0.6), lat + lit(0.3), lit(2) + m(3, 7),
+      anchored = false, 0.8, 0.4, 600, 700, u)
+    val lineRings = concat(array(lineMain),
+      when(hasLine2, array(line2)).otherwise(emptyRings))
+    val lineRoles = concat(array(lit(0)),
+      when(hasLine2, array(lit(0))).otherwise(emptyRoles))
+    Seq(
+      "rings" -> when(kind === "polygon", polyRings)
+        .when(kind === "line", lineRings).otherwise(emptyRings),
+      "roles" -> when(kind === "polygon", polyRoles)
+        .when(kind === "line", lineRoles).otherwise(emptyRoles))
+  }
 
   def kindPidCol(pid: Column): Column =
     when(pid % 10 < 6, lit("point")).when(pid % 10 < 8, lit("line"))
@@ -218,59 +320,62 @@ object GeoCols {
     "(CASE WHEN pid % 10 < 6 THEN 'point' WHEN pid % 10 < 8 THEN 'line' ELSE 'polygon' END)"
 
   /** Feature table derived from lineitem keys: (image_id, lon, lat, kind,
-    * x0..y3, tags, cell) — the non-point analogue of [[derivedPoints]], with
-    * [[featuresSql]] as its DuckDB twin. `tags` carries a deterministic
+    * rings, roles, tags, cell) — the non-point analogue of [[derivedPoints]],
+    * with [[featuresSql]] as its DuckDB twin. `tags` carries a deterministic
     * parity attribute so tag filters/projections have an oracle. */
   def derivedFeatures(spark: SparkSession, sfDir: String, cellRes: Int = 7): DataFrame = {
     val p = derivedPoints(spark, sfDir)
     val kind = kindPidCol(col("pid"))
-    val vs = vertexCols(kind, col("lon"), col("lat"),
-      i => duPid(col("pid"), i), i => uuPid(col("pid"), i))
+    val geomCols = featureGeomCols(kind, col("lon"), col("lat"),
+      uPidCol(col("pid")), mPidCol(col("pid")))
     val base = p.withColumn("kind", kind)
-    val withVs = vs.foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
-    withVs
+    val withG = geomCols.foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+    withG
       .withColumn("tags", map(lit("parity"), (col("pid") % 7).cast("string")))
       .withColumn("cell", cellCol(cellRes, col("lon"), col("lat")))
       .withColumnRenamed("pid", "image_id")
   }
 
   /** DuckDB CTE body for the derived feature table (columns: pid, lon, lat,
-    * kind, x0..y3; tag values are emitted directly as expressions by gate
-    * SQL, maps are a Spark-side representation detail). */
+    * kind, rings, roles; tag values are emitted directly as expressions by
+    * gate SQL, maps are a Spark-side representation detail). Mirrors
+    * [[featureGeomCols]] with the pid providers, term for term. */
   def featuresSql: String = {
-    def rS(i: Int) = s"(0.15 + 0.5 * (${uuPidSql(i)}))"
-    val x1l = s"(lon + 0.8 * (${duPidSql(1)}))"
-    val y1l = s"(lat + 0.5 * (${duPidSql(2)}))"
+    val shell = starRingSql("lon", "lat", s"(5 + ${mPidSql(8, 0)})", dirRev = false, 0.15, 0.5, 100)
+    val hole = starRingSql("lon", "lat", s"(4 + ${mPidSql(4, 2)})", dirRev = true, 0.03, 0.05, 200)
+    val part2 = starRingSql("(lon + 1.3)", "(lat + 0.65)", s"(4 + ${mPidSql(7, 4)})", dirRev = false, 0.1, 0.3, 300)
+    val lineMain = zigzagLineSql("lon", "lat", s"(3 + ${mPidSql(7, 5)})", anchored = true, 1.0, 0.5, 400, 500)
+    val line2 = zigzagLineSql("(lon + 0.6)", "(lat + 0.3)", s"(2 + ${mPidSql(3, 7)})", anchored = false, 0.8, 0.4, 600, 700)
+    val hasHole = s"${mPidSql(3, 1)} = 0"
+    val hasPart2 = s"${mPidSql(4, 3)} = 0"
+    val hasLine2 = s"${mPidSql(3, 6)} = 0"
+    val er = "[]::DOUBLE[][]"
+    val ei = "[]::INT[]"
     s"""SELECT pid, lon, lat, $kindPidSql AS kind,
-       |  (CASE WHEN pid % 10 >= 8 THEN lon + ${rS(1)} ELSE lon END) AS x0,
-       |  lat AS y0,
-       |  (CASE WHEN pid % 10 >= 6 AND pid % 10 < 8 THEN $x1l ELSE lon END) AS x1,
-       |  (CASE WHEN pid % 10 >= 6 AND pid % 10 < 8 THEN $y1l
-       |        WHEN pid % 10 >= 8 THEN lat + 0.7 * ${rS(2)} ELSE lat END) AS y1,
-       |  (CASE WHEN pid % 10 >= 6 AND pid % 10 < 8 THEN $x1l + 0.8 * (${duPidSql(3)})
-       |        WHEN pid % 10 >= 8 THEN lon - ${rS(3)} ELSE lon END) AS x2,
-       |  (CASE WHEN pid % 10 >= 6 AND pid % 10 < 8 THEN $y1l + 0.5 * (${duPidSql(4)})
-       |        ELSE lat END) AS y2,
-       |  lon AS x3,
-       |  (CASE WHEN pid % 10 >= 8 THEN lat - 0.7 * ${rS(4)} ELSE lat END) AS y3
+       |  (CASE WHEN pid % 10 >= 8 THEN
+       |     list_concat(list_concat([$shell],
+       |       CASE WHEN $hasHole THEN [$hole] ELSE $er END),
+       |       CASE WHEN $hasPart2 THEN [$part2] ELSE $er END)
+       |   WHEN pid % 10 >= 6 THEN
+       |     list_concat([$lineMain],
+       |       CASE WHEN $hasLine2 THEN [$line2] ELSE $er END)
+       |   ELSE $er END) AS rings,
+       |  (CASE WHEN pid % 10 >= 8 THEN
+       |     list_concat(list_concat([0]::INT[],
+       |       CASE WHEN $hasHole THEN [1]::INT[] ELSE $ei END),
+       |       CASE WHEN $hasPart2 THEN [0]::INT[] ELSE $ei END)
+       |   WHEN pid % 10 >= 6 THEN
+       |     list_concat([0]::INT[], CASE WHEN $hasLine2 THEN [0]::INT[] ELSE $ei END)
+       |   ELSE $ei END) AS roles
        |FROM pts""".stripMargin
   }
 
-  // ---- segment / region intersection predicates ------------------------------
-  // Column/SQL twins of Geo.segmentsCross / lineIntersectsPolygon /
-  // polygonIntersectsPolygon: strict-sign orientation tests, identical
-  // operand order in kernel, Column, and SQL.
+  // ---- segment-crossing SQL primitives (literal request edges) -------------
+  // SQL twins of Geo.segmentsCross / segmentCrossesBoundary: strict-sign
+  // orientation tests, identical operand order in kernel and SQL.
 
-  /** Segment (a→b, column endpoints) properly crosses literal segment c→d. */
-  def segCrossCol(ax: Column, ay: Column, bx: Column, by: Column,
-      c: Pt, d: Pt): Column = {
-    val abc = ((lit(c.lat) - ay) * (bx - ax) - (by - ay) * (lit(c.lon) - ax)) > lit(0.0)
-    val abd = ((lit(d.lat) - ay) * (bx - ax) - (by - ay) * (lit(d.lon) - ax)) > lit(0.0)
-    val cda = ((ay - lit(c.lat)) * lit(d.lon - c.lon) - lit(d.lat - c.lat) * (ax - lit(c.lon))) > lit(0.0)
-    val cdb = ((by - lit(c.lat)) * lit(d.lon - c.lon) - lit(d.lat - c.lat) * (bx - lit(c.lon))) > lit(0.0)
-    (abc =!= abd) && (cda =!= cdb)
-  }
-
+  /** Segment (a->b, expression endpoints) properly crosses literal segment
+    * c->d. */
   def segCrossSql(axE: String, ayE: String, bxE: String, byE: String,
       c: Pt, d: Pt): String = {
     val abc = s"(((${c.lat}) - $ayE) * ($bxE - $axE) - ($byE - $ayE) * ((${c.lon}) - $axE)) > 0.0"
@@ -288,213 +393,179 @@ object GeoCols {
   private def polyEdges(poly: Polygon): Seq[(Pt, Pt)] =
     (poly.shell +: poly.holes.toSeq).flatMap(ringEdges)
 
-  /** Segment (column endpoints) crosses any boundary edge of the polygon
+  /** Segment (expression endpoints) crosses any boundary edge of the polygon
     * (shell + holes). */
-  def segCrossesBoundaryCol(poly: Polygon, ax: Column, ay: Column,
-      bx: Column, by: Column): Column =
-    polyEdges(poly).map { case (c, d) => segCrossCol(ax, ay, bx, by, c, d) }
-      .reduce(_ || _)
-
   def segCrossesBoundarySql(poly: Polygon, axE: String, ayE: String,
       bxE: String, byE: String): String =
     polyEdges(poly).map { case (c, d) => segCrossSql(axE, ayE, bxE, byE, c, d) }
       .mkString("(", " OR ", ")")
 
-  /** Literal point q inside the dynamic feature quad (x0..x3, y0..y3 column
-    * ring) — raycast with the same half-open edge rule as pipRingCol. */
-  def pipQuadCol(q: Pt, xs: Seq[Column], ys: Seq[Column]): Column = {
-    val terms = (0 until 4).map { i =>
-      val j = (i + 3) % 4
-      val crosses = (ys(i) > lit(q.lat)) =!= (ys(j) > lit(q.lat))
-      val xInt = (xs(j) - xs(i)) * (lit(q.lat) - ys(i)) / (ys(j) - ys(i)) + xs(i)
-      when(crosses && lit(q.lon) < xInt, lit(1)).otherwise(lit(0))
-    }
-    terms.reduce(_ + _) % lit(2) === lit(1)
+  // ---- variable-geometry SQL kernels (oracle twins of Geo.*Rings) ----------
+  // These generate DuckDB list-lambda SQL over the rings column; the Scala
+  // kernels in graft.geo.Geo mirror them operand for operand (same index
+  // conventions: j = previous vertex, flat left-fold float sums).
+
+  private def nOf(r: String) = s"(len($r)//2)"
+  private def xAt(r: String, i: String) = s"$r[2*($i)+1]"
+  private def yAt(r: String, i: String) = s"$r[2*($i)+2]"
+  private def cntSql(listE: String) = s"COALESCE(list_sum($listE), 0)"
+
+  /** Left-fold float sum (0.0-seeded) — list_sum's order is an
+    * implementation detail; the explicit fold matches the kernels' running
+    * accumulators bit for bit. */
+  private def foldSumSql(listE: String): String =
+    s"COALESCE(list_reduce(list_prepend(0.0, $listE), (a, b) -> a + b), 0.0)"
+
+  /** Per-edge crossing indicators of (qx,qy) against one flat-ring lambda
+    * var (implicit closure, j = previous vertex) — twin of
+    * Geo.crossingsFlat. */
+  private def crossingsFlatSql(qxE: String, qyE: String, r: String): String = {
+    val n = nOf(r)
+    val j = s"((i + $n - 1) % $n)"
+    val xi = xAt(r, "i"); val yi = yAt(r, "i")
+    val xj = xAt(r, j); val yj = yAt(r, j)
+    s"list_transform(range(0, $n), i -> (CASE WHEN (($yi > $qyE) <> ($yj > $qyE)) AND " +
+      s"($qxE < ($xj - $xi) * (($qyE) - $yi) / ($yj - $yi) + $xi) THEN 1 ELSE 0 END))"
   }
 
-  def pipQuadSql(q: Pt, xs: Seq[String], ys: Seq[String]): String = {
-    val terms = (0 until 4).map { i =>
-      val j = (i + 3) % 4
-      s"(CASE WHEN ((${ys(i)} > ${q.lat}) <> (${ys(j)} > ${q.lat})) AND " +
-        s"(${q.lon} < (${xs(j)} - ${xs(i)}) * ((${q.lat}) - ${ys(i)}) / (${ys(j)} - ${ys(i)}) + ${xs(i)}) " +
-        s"THEN 1 ELSE 0 END)"
-    }
-    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  /** Even-odd PIP of (qx,qy) in the variable rings column — twin of
+    * Geo.pipEvenOdd. */
+  def pipEvenOddVarSql(qxE: String, qyE: String, ringsE: String): String =
+    s"((${cntSql(s"list_transform($ringsE, q -> ${cntSql(crossingsFlatSql(qxE, qyE, "q"))})")} % 2) = 1)"
+
+  private def anyVertexInSql(poly: Polygon, r: String): String =
+    s"(${cntSql(s"list_transform(range(0, ${nOf(r)}), i -> (CASE WHEN ${pipSql(poly, xAt(r, "i"), yAt(r, "i"))} THEN 1 ELSE 0 END))")} > 0)"
+
+  private def anyEdgeCrossesSql(poly: Polygon, r: String, closed: Boolean): String = {
+    val n = nOf(r)
+    val last = if (closed) n else s"($n - 1)"
+    val j = if (closed) s"((i + 1) % $n)" else "(i + 1)"
+    s"(${cntSql(s"list_transform(range(0, $last), i -> (CASE WHEN ${segCrossesBoundarySql(poly, xAt(r, "i"), yAt(r, "i"), xAt(r, j), yAt(r, j))} THEN 1 ELSE 0 END))")} > 0)"
   }
 
-  /** Kind-aware feature×polygon intersection (the exact refine of the extract
-    * path): point → PIP; line → vertex-in OR edge-cross; polygon → vertex-in
-    * OR edge-cross OR request-vertex swallowed by the feature quad. */
-  def featureIntersectsCol(poly: Polygon, kind: Column, lon: Column, lat: Column,
-      xs: Seq[Column], ys: Seq[Column]): Column = {
-    val pointHit = pipCol(poly, lon, lat)
-    val lineHit =
-      (0 to 2).map(i => pipCol(poly, xs(i), ys(i))).reduce(_ || _) ||
-        Seq((0, 1), (1, 2)).map { case (i, j) =>
-          segCrossesBoundaryCol(poly, xs(i), ys(i), xs(j), ys(j)) }.reduce(_ || _)
-    val quadHit =
-      (0 to 3).map(i => pipCol(poly, xs(i), ys(i))).reduce(_ || _) ||
-        Seq((0, 1), (1, 2), (2, 3), (3, 0)).map { case (i, j) =>
-          segCrossesBoundaryCol(poly, xs(i), ys(i), xs(j), ys(j)) }.reduce(_ || _) ||
-        pipQuadCol(poly.shell.pts.head, xs, ys)
-    when(kind === "point", pointHit)
-      .when(kind === "line", lineHit)
-      .otherwise(quadHit)
-  }
-
-  def featureIntersectsSql(poly: Polygon, kindE: String, lonE: String, latE: String,
-      xs: Seq[String], ys: Seq[String]): String = {
-    val pointHit = pipSql(poly, lonE, latE)
-    val lineHit = ((0 to 2).map(i => pipSql(poly, xs(i), ys(i))) ++
-      Seq((0, 1), (1, 2)).map { case (i, j) =>
-        segCrossesBoundarySql(poly, xs(i), ys(i), xs(j), ys(j)) })
-      .mkString("(", " OR ", ")")
-    val quadHit = ((0 to 3).map(i => pipSql(poly, xs(i), ys(i))) ++
-      Seq((0, 1), (1, 2), (2, 3), (3, 0)).map { case (i, j) =>
-        segCrossesBoundarySql(poly, xs(i), ys(i), xs(j), ys(j)) } ++
-      Seq(pipQuadSql(poly.shell.pts.head, xs, ys)))
-      .mkString("(", " OR ", ")")
+  /** Kind-aware feature x request-geometry intersection over the rings
+    * model — twin of Geo.featureIntersectsRings: point -> anchor PIP;
+    * line -> part vertex inside OR open segment crossing; polygon -> ring
+    * vertex inside OR closed ring edge crossing OR request shell head
+    * swallowed by the feature (even-odd over its rings). */
+  def featureIntersectsRingsSql(geom: MultiPolygon, kindE: String,
+      lonE: String, latE: String, ringsE: String): String = {
+    val pointHit = geom.polys.map(p => pipSql(p, lonE, latE)).mkString("(", " OR ", ")")
+    val lineHit = geom.polys.map { p =>
+      s"(${cntSql(s"list_transform($ringsE, r -> (CASE WHEN (${anyVertexInSql(p, "r")} OR ${anyEdgeCrossesSql(p, "r", closed = false)}) THEN 1 ELSE 0 END))")} > 0)"
+    }.mkString("(", " OR ", ")")
+    val polyHit = geom.polys.map { p =>
+      val vin = s"(${cntSql(s"list_transform($ringsE, r -> (CASE WHEN ${anyVertexInSql(p, "r")} THEN 1 ELSE 0 END))")} > 0)"
+      val ecr = s"(${cntSql(s"list_transform($ringsE, r -> (CASE WHEN ${anyEdgeCrossesSql(p, "r", closed = true)} THEN 1 ELSE 0 END))")} > 0)"
+      val head = p.shell.pts.head
+      s"($vin OR $ecr OR ${pipEvenOddVarSql(head.lon.toString, head.lat.toString, ringsE)})"
+    }.mkString("(", " OR ", ")")
     s"(CASE WHEN $kindE = 'point' THEN $pointHit " +
-      s"WHEN $kindE = 'line' THEN $lineHit ELSE $quadHit END)"
+      s"WHEN $kindE = 'line' THEN $lineHit ELSE $polyHit END)"
   }
 
-  def featureIntersectsCol(geom: MultiPolygon, kind: Column, lon: Column, lat: Column,
-      xs: Seq[Column], ys: Seq[Column]): Column =
-    geom.polys.map(p => featureIntersectsCol(p, kind, lon, lat, xs, ys))
-      .reduce(_ || _)
-
-  def featureIntersectsSql(geom: MultiPolygon, kindE: String, lonE: String, latE: String,
-      xs: Seq[String], ys: Seq[String]): String =
-    geom.polys.map(p => featureIntersectsSql(p, kindE, lonE, latE, xs, ys))
-      .mkString("(", " OR ", ")")
-
-  // ---- centroid (ST_Centroid analogue, builder.py:157) -----------------------
-  // Twin of Geo.centroid (shoelace) and Geo.lineCentroid (length-weighted):
-  // identical operand order, identical degenerate fallbacks.
-
-  /** (clon, clat) centroid columns for the kind-aware feature model. */
-  def centroidCols(kind: Column, lon: Column, lat: Column,
-      xs: Seq[Column], ys: Seq[Column]): (Column, Column) = {
-    // line: length-weighted midpoint of segments (0,1), (1,2)
-    val l1 = sqrt((xs(1) - xs(0)) * (xs(1) - xs(0)) + (ys(1) - ys(0)) * (ys(1) - ys(0)))
-    val l2 = sqrt((xs(2) - xs(1)) * (xs(2) - xs(1)) + (ys(2) - ys(1)) * (ys(2) - ys(1)))
-    val lineX = ((xs(0) + xs(1)) / 2 * l1 + (xs(1) + xs(2)) / 2 * l2) / (l1 + l2)
-    val lineY = ((ys(0) + ys(1)) / 2 * l1 + (ys(1) + ys(2)) / 2 * l2) / (l1 + l2)
-    val lineDegenerate = (l1 + l2) === lit(0.0)
-    // polygon quad: shoelace, same edge order (j = prev) and term order as
-    // Geo.centroid's loop
-    val crosses = (0 until 4).map { i =>
-      val j = (i + 3) % 4
-      xs(j) * ys(i) - xs(i) * ys(j)
+  /** (clon, clat) centroid SQL over the rings model — twin of
+    * Geo.centroidRings (same fold order, same degenerate fallbacks). */
+  def centroidRingsSql(kindE: String, lonE: String, latE: String,
+      ringsE: String): (String, String) = {
+    def segList(term: String): String =
+      s"flatten(list_transform($ringsE, r -> list_transform(range(0, ${nOf("r")} - 1), i -> ($term))))"
+    val lE = {
+      val dx = s"(${xAt("r", "(i + 1)")} - ${xAt("r", "i")})"
+      val dy = s"(${yAt("r", "(i + 1)")} - ${yAt("r", "i")})"
+      s"SQRT($dx * $dx + $dy * $dy)"
     }
-    val a = crosses.reduce(_ + _)
-    val cxSum = (0 until 4).map { i =>
-      val j = (i + 3) % 4
-      (xs(j) + xs(i)) * crosses(i)
-    }.reduce(_ + _)
-    val cySum = (0 until 4).map { i =>
-      val j = (i + 3) % 4
-      (ys(j) + ys(i)) * crosses(i)
-    }.reduce(_ + _)
-    val quadDegenerate = abs(a) < lit(1e-12)
-    val quadAvgX = (xs(0) + xs(1) + xs(2) + xs(3)) / 4
-    val quadAvgY = (ys(0) + ys(1) + ys(2) + ys(3)) / 4
-    val clon = when(kind === "point", lon)
-      .when(kind === "line", when(lineDegenerate, xs(0)).otherwise(lineX))
-      .otherwise(when(quadDegenerate, quadAvgX).otherwise(cxSum / (lit(3.0) * a)))
-    val clat = when(kind === "point", lat)
-      .when(kind === "line", when(lineDegenerate, ys(0)).otherwise(lineY))
-      .otherwise(when(quadDegenerate, quadAvgY).otherwise(cySum / (lit(3.0) * a)))
-    (clon, clat)
+    val sl = foldSumSql(segList(lE))
+    val sx = foldSumSql(segList(s"(${xAt("r", "i")} + ${xAt("r", "(i + 1)")}) / 2 * $lE"))
+    val sy = foldSumSql(segList(s"(${yAt("r", "i")} + ${yAt("r", "(i + 1)")}) / 2 * $lE"))
+    val lineX = s"(CASE WHEN $sl = 0.0 THEN $ringsE[1][1] ELSE ($sx / $sl) END)"
+    val lineY = s"(CASE WHEN $sl = 0.0 THEN $ringsE[1][2] ELSE ($sy / $sl) END)"
+    def ringTermList(term: String): String =
+      s"flatten(list_transform($ringsE, r -> list_transform(range(0, ${nOf("r")}), i -> ($term))))"
+    val n = nOf("r")
+    val j = s"((i + $n - 1) % $n)"
+    val cross = s"(${xAt("r", j)} * ${yAt("r", "i")} - ${xAt("r", "i")} * ${yAt("r", j)})"
+    val a = foldSumSql(ringTermList(cross))
+    val cxS = foldSumSql(ringTermList(s"(${xAt("r", j)} + ${xAt("r", "i")}) * $cross"))
+    val cyS = foldSumSql(ringTermList(s"(${yAt("r", j)} + ${yAt("r", "i")}) * $cross"))
+    val nv = s"COALESCE(list_sum(list_transform($ringsE, r -> ${nOf("r")})), 0)"
+    val avgX = foldSumSql(ringTermList(xAt("r", "i")))
+    val avgY = foldSumSql(ringTermList(yAt("r", "i")))
+    val polyX = s"(CASE WHEN ABS($a) < 1e-12 THEN ($avgX / $nv) ELSE ($cxS / (3 * $a)) END)"
+    val polyY = s"(CASE WHEN ABS($a) < 1e-12 THEN ($avgY / $nv) ELSE ($cyS / (3 * $a)) END)"
+    (s"(CASE WHEN $kindE = 'point' THEN $lonE WHEN $kindE = 'line' THEN $lineX ELSE $polyX END)",
+      s"(CASE WHEN $kindE = 'point' THEN $latE WHEN $kindE = 'line' THEN $lineY ELSE $polyY END)")
   }
 
-  def centroidSql(kindE: String, lonE: String, latE: String,
-      xs: Seq[String], ys: Seq[String]): (String, String) = {
-    val l1 = s"SQRT((${xs(1)} - ${xs(0)}) * (${xs(1)} - ${xs(0)}) + (${ys(1)} - ${ys(0)}) * (${ys(1)} - ${ys(0)}))"
-    val l2 = s"SQRT((${xs(2)} - ${xs(1)}) * (${xs(2)} - ${xs(1)}) + (${ys(2)} - ${ys(1)}) * (${ys(2)} - ${ys(1)}))"
-    val lineX = s"(((${xs(0)} + ${xs(1)}) / 2 * $l1 + (${xs(1)} + ${xs(2)}) / 2 * $l2) / ($l1 + $l2))"
-    val lineY = s"(((${ys(0)} + ${ys(1)}) / 2 * $l1 + (${ys(1)} + ${ys(2)}) / 2 * $l2) / ($l1 + $l2))"
-    val crosses = (0 until 4).map { i =>
-      val j = (i + 3) % 4
-      s"(${xs(j)} * ${ys(i)} - ${xs(i)} * ${ys(j)})"
-    }
-    val a = crosses.mkString("(", " + ", ")")
-    val cxSum = (0 until 4).map { i =>
-      val j = (i + 3) % 4
-      s"((${xs(j)} + ${xs(i)}) * ${crosses(i)})"
-    }.mkString("(", " + ", ")")
-    val cySum = (0 until 4).map { i =>
-      val j = (i + 3) % 4
-      s"((${ys(j)} + ${ys(i)}) * ${crosses(i)})"
-    }.mkString("(", " + ", ")")
-    val quadAvgX = s"((${xs(0)} + ${xs(1)} + ${xs(2)} + ${xs(3)}) / 4)"
-    val quadAvgY = s"((${ys(0)} + ${ys(1)} + ${ys(2)} + ${ys(3)}) / 4)"
-    val clon = s"(CASE WHEN $kindE = 'point' THEN $lonE " +
-      s"WHEN $kindE = 'line' THEN (CASE WHEN ($l1 + $l2) = 0.0 THEN ${xs(0)} ELSE $lineX END) " +
-      s"ELSE (CASE WHEN ABS($a) < 1e-12 THEN $quadAvgX ELSE ($cxSum / (3.0 * $a)) END) END)"
-    val clat = s"(CASE WHEN $kindE = 'point' THEN $latE " +
-      s"WHEN $kindE = 'line' THEN (CASE WHEN ($l1 + $l2) = 0.0 THEN ${ys(0)} ELSE $lineY END) " +
-      s"ELSE (CASE WHEN ABS($a) < 1e-12 THEN $quadAvgY ELSE ($cySum / (3.0 * $a)) END) END)"
-    (clon, clat)
+  /** Signed planar area (deg^2) over the rings model — twin of
+    * Geo.areaRings (CCW shells positive, CW holes negative). */
+  def areaRingsSql(ringsE: String): String = {
+    val n = nOf("r")
+    val j = s"((i + $n - 1) % $n)"
+    val cross = s"(${xAt("r", j)} * ${yAt("r", "i")} - ${xAt("r", "i")} * ${yAt("r", j)})"
+    s"(${foldSumSql(s"flatten(list_transform($ringsE, r -> list_transform(range(0, $n), i -> $cross)))")} / 2.0)"
   }
 
-  /** Kernel-backed twins of featureIntersectsCol / centroidCols for the HOT
-    * path: the full Column expression tree over 18 polygon edges × 4 feature
-    * vertices explodes past whole-stage-codegen limits (observed 40 MB task
-    * binaries + interpreted fallback — BENCH.md finding #2's disease), while
-    * a compact UDF over the JIT-compiled kernel evaluates each vertex column
-    * exactly once. Arithmetic is operand-for-operand identical to the Column
-    * and SQL twins (GeometrySpec proves kernel ≡ Column row-for-row), so
-    * oracle parity is preserved. Vertices are passed as one packed array
-    * (x0,y0..x3,y3). */
-  def featureIntersectsUdf(geom: MultiPolygon): (Column, Column, Column, Column) => Column =
-    udf((kind: String, lon: Double, lat: Double, v: Seq[Double]) => {
-      val pts = Array.tabulate(4)(i => Pt(v(2 * i), v(2 * i + 1)))
-      kind match {
-        case "point" => geom.polys.exists(p => graft.geo.Geo.pointInPolygon(lon, lat, p))
-        case "line" => geom.polys.exists(p => graft.geo.Geo.lineIntersectsPolygon(pts.take(3), p))
-        case _ => geom.polys.exists(p => graft.geo.Geo.polygonIntersectsPolygon(graft.geo.Ring(pts), p))
-      }
-    }).apply(_, _, _, _)
+  // ---- kernel-backed UDF twins (the HOT-path refine) ------------------------
+  // The full Column expression tree for an 18-edge x n-vertex intersect
+  // explodes past whole-stage-codegen limits (observed 40 MB task binaries +
+  // interpreted fallback — BENCH.md finding #2), while a compact UDF over
+  // the JIT-compiled graft.geo.Geo kernel evaluates each column exactly
+  // once. Arithmetic is operand-for-operand identical to the SQL twins
+  // above, so oracle parity is preserved (proven end-to-end by the
+  // correctness gates; GeometrySpec pins the kernel behaviors).
 
-  /** Packed vertex array column (x0,y0..x3,y3) for the kernel UDFs. */
-  def packedVerts(xs: Seq[Column], ys: Seq[Column]): Column =
-    array((0 to 3).flatMap(i => Seq(xs(i), ys(i))): _*)
+  def featureIntersectsRingsUdf(geom: MultiPolygon): (Column, Column, Column, Column) => Column =
+    udf((kind: String, lon: Double, lat: Double,
+        rings: scala.collection.Seq[scala.collection.Seq[Double]]) =>
+      graft.geo.Geo.featureIntersectsRings(geom.polys, kind, lon, lat, rings))
+      .apply(_, _, _, _)
 
-  /** Kernel-backed centroid (clon, clat) — same rationale as
-    * [[featureIntersectsUdf]]; bit-identical to centroidCols/centroidSql
-    * (same operand order, GeometrySpec-proven). */
-  val centroidUdf = udf((kind: String, lon: Double, lat: Double, v: Seq[Double]) => {
-    val pts = Array.tabulate(4)(i => Pt(v(2 * i), v(2 * i + 1)))
-    kind match {
-      case "point" => Array(lon, lat)
-      case "line" =>
-        val c = graft.geo.Geo.lineCentroid(pts.take(3))
-        Array(c.lon, c.lat)
-      case _ =>
-        val c = graft.geo.Geo.centroid(Polygon(graft.geo.Ring(pts)))
-        Array(c.lon, c.lat)
-    }
+  /** Kernel-backed centroid [clon, clat] — twin of [[centroidRingsSql]]. */
+  val centroidRingsUdf = udf((kind: String, lon: Double, lat: Double,
+      rings: scala.collection.Seq[scala.collection.Seq[Double]]) => {
+    val c = graft.geo.Geo.centroidRings(kind, lon, lat, rings)
+    Array(c._1, c._2)
   })
 
-  /** GeoJSON geometry object per kind (Point / LineString / Polygon) — the
-    * row-level half of ST_AsGeoJSON (builder.py:85-95) for real geometry. */
-  def geoJsonGeomCol(kind: Column, lon: Column, lat: Column,
-      xs: Seq[Column], ys: Seq[Column]): Column = {
-    def pt(x: Column, y: Column) =
-      concat(lit("["), x.cast("string"), lit(","), y.cast("string"), lit("]"))
-    when(kind === "point",
-      concat(lit("""{"type":"Point","coordinates":"""), pt(lon, lat), lit("}")))
-      .when(kind === "line",
-        concat(lit("""{"type":"LineString","coordinates":["""),
-          pt(xs(0), ys(0)), lit(","), pt(xs(1), ys(1)), lit(","),
-          pt(xs(2), ys(2)), lit("]}")))
-      .otherwise(
-        concat(lit("""{"type":"Polygon","coordinates":[["""),
-          pt(xs(0), ys(0)), lit(","), pt(xs(1), ys(1)), lit(","),
-          pt(xs(2), ys(2)), lit(","), pt(xs(3), ys(3)), lit(","),
-          pt(xs(0), ys(0)), lit("]]}")))
-  }
+  /** Signed planar area (deg^2) — twin of [[areaRingsSql]]. */
+  val areaRingsUdf = udf((rings: scala.collection.Seq[scala.collection.Seq[Double]]) =>
+    graft.geo.Geo.areaRings(rings))
+
+  /** GeoJSON geometry object per kind over the rings model — Point /
+    * LineString / MultiLineString / Polygon / MultiPolygon (the row-level
+    * half of ST_AsGeoJSON, builder.py:85-95). Serialization only (sink
+    * side, never a filter predicate), evaluated executor-side. */
+  val geoJsonGeomUdf = udf((kind: String, lon: Double, lat: Double,
+      rings: scala.collection.Seq[scala.collection.Seq[Double]],
+      roles: scala.collection.Seq[Int]) => {
+    def pt(x: Double, y: Double) = s"[$x,$y]"
+    def ringStr(r: scala.collection.Seq[Double], close: Boolean): String = {
+      val pts = (0 until r.length / 2).map(i => pt(r(2 * i), r(2 * i + 1)))
+      val all = if (close) pts :+ pts.head else pts
+      all.mkString("[", ",", "]")
+    }
+    kind match {
+      case "line" if rings.nonEmpty =>
+        if (rings.length == 1)
+          s"""{"type":"LineString","coordinates":${ringStr(rings.head, close = false)}}"""
+        else
+          s"""{"type":"MultiLineString","coordinates":${rings.map(ringStr(_, close = false)).mkString("[", ",", "]")}}"""
+      case "polygon" if rings.nonEmpty =>
+        val parts = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[String]]
+        rings.indices.foreach { k =>
+          val s = ringStr(rings(k), close = true)
+          if (k < roles.length && roles(k) == 1 && parts.nonEmpty) parts.last += s
+          else parts += scala.collection.mutable.ArrayBuffer(s)
+        }
+        if (parts.length == 1)
+          s"""{"type":"Polygon","coordinates":${parts.head.mkString("[", ",", "]")}}"""
+        else
+          s"""{"type":"MultiPolygon","coordinates":${parts.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")}}"""
+      case _ => s"""{"type":"Point","coordinates":${pt(lon, lat)}}"""
+    }
+  })
 
   // ---- haversine ------------------------------------------------------------
 

@@ -203,6 +203,176 @@ object Geo {
       pointInRing(poly.shell.pts.head.lon, poly.shell.pts.head.lat, feature)
   }
 
+  // ---- arbitrary-vertex feature kernel (rings/roles model) -----------------
+  // Feature geometry is a list of FLAT xy rings ([x0,y0,x1,y1,...], not
+  // closed) plus a parallel role list (0 = outer/part, 1 = hole of the
+  // preceding outer). Lines store open polylines (roles all 0); points store
+  // no rings. This is the storage analogue of the reference's arbitrary OSM
+  // geometry (relations → multipolygon areas, backend/raw.lua:153-180;
+  // MULTILINESTRING/MULTIPOLYGON branches, builder.py:685,713-714).
+  // Every arithmetic expression here is operand-for-operand identical to the
+  // DuckDB SQL emitted by GeoCols' *RingsSql generators, so engine and
+  // oracle agree bit-for-bit.
+
+  /** Ray-cast crossing count of (lon,lat) against one flat ring (implicit
+    * closure, j = previous vertex) — same half-open edge rule and operand
+    * order as [[pointInRing]]. */
+  def crossingsFlat(lon: Double, lat: Double, ring: scala.collection.Seq[Double]): Int = {
+    val n = ring.length / 2
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val j = (i + n - 1) % n
+      val xi = ring(2 * i); val yi = ring(2 * i + 1)
+      val xj = ring(2 * j); val yj = ring(2 * j + 1)
+      if ((yi > lat) != (yj > lat) &&
+          lon < (xj - xi) * (lat - yi) / (yj - yi) + xi) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Even-odd point-in-feature over ALL rings at once: for disjoint shells
+    * with contained holes, total crossing parity ≡ (in some shell) && !(in
+    * its holes) — one uniform rule for Polygon, Polygon-with-holes and
+    * MultiPolygon. */
+  def pipEvenOdd(lon: Double, lat: Double, rings: scala.collection.Seq[scala.collection.Seq[Double]]): Boolean = {
+    var c = 0
+    rings.foreach(r => c += crossingsFlat(lon, lat, r))
+    c % 2 == 1
+  }
+
+  private def segCrossesBoundaryD(ax: Double, ay: Double, bx: Double, by: Double,
+      poly: Polygon): Boolean =
+    segmentCrossesBoundary(Pt(ax, ay), Pt(bx, by), poly)
+
+  /** Any vertex of the flat ring strictly inside the polygon-with-holes. */
+  def anyVertexIn(ring: scala.collection.Seq[Double], poly: Polygon): Boolean = {
+    val n = ring.length / 2
+    var i = 0
+    while (i < n) {
+      if (pointInPolygon(ring(2 * i), ring(2 * i + 1), poly)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Any edge of the flat ring (closed when `closed`, open polyline
+    * otherwise) properly crossing the polygon boundary. */
+  def anyEdgeCrosses(ring: scala.collection.Seq[Double], poly: Polygon, closed: Boolean): Boolean = {
+    val n = ring.length / 2
+    if (n < 2) return false
+    val last = if (closed) n else n - 1
+    var i = 0
+    while (i < last) {
+      val j = (i + 1) % n
+      if (segCrossesBoundaryD(ring(2 * i), ring(2 * i + 1),
+          ring(2 * j), ring(2 * j + 1), poly)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Kind-aware feature×polygon intersection over the rings model: point →
+    * PIP of the anchor; line → any part vertex inside or any open segment
+    * crossing; polygon → any ring vertex inside, any closed ring edge
+    * crossing, or the polygon's first shell vertex swallowed by the feature
+    * (even-odd over the feature's rings). */
+  def featureIntersectsRings(polys: Seq[Polygon], kind: String,
+      lon: Double, lat: Double,
+      rings: scala.collection.Seq[scala.collection.Seq[Double]]): Boolean = kind match {
+    case "point" => polys.exists(p => pointInPolygon(lon, lat, p))
+    case "line" =>
+      polys.exists(p => rings.exists(r =>
+        anyVertexIn(r, p) || anyEdgeCrosses(r, p, closed = false)))
+    case _ =>
+      polys.exists(p =>
+        rings.exists(r => anyVertexIn(r, p)) ||
+          rings.exists(r => anyEdgeCrosses(r, p, closed = true)) ||
+          pipEvenOdd(p.shell.pts.head.lon, p.shell.pts.head.lat, rings))
+  }
+
+  /** Signed shoelace area ×2 of one flat ring (j = previous vertex; the
+    * cross term x_j·y_i − x_i·y_j, same as [[centroidRings]]'s). CCW
+    * positive. */
+  def shoelace2Flat(ring: scala.collection.Seq[Double]): Double = {
+    val n = ring.length / 2
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val j = (i + n - 1) % n
+      s += ring(2 * j) * ring(2 * i + 1) - ring(2 * i) * ring(2 * j + 1)
+      i += 1
+    }
+    s
+  }
+
+  /** Signed planar area (deg²) of the whole feature: shoelace over ALL
+    * rings' terms in one flat running sum (bit-parity with the SQL twin's
+    * single left fold — per-ring subtotals would re-associate the float
+    * adds) — CCW shells positive, CW holes negative, so holes subtract and
+    * disjoint parts add (the ST_Area decomposition). */
+  def areaRings(rings: scala.collection.Seq[scala.collection.Seq[Double]]): Double = {
+    var s = 0.0
+    rings.foreach { r =>
+      val n = r.length / 2
+      var i = 0
+      while (i < n) {
+        val j = (i + n - 1) % n
+        s += r(2 * j) * r(2 * i + 1) - r(2 * i) * r(2 * j + 1)
+        i += 1
+      }
+    }
+    s / 2.0
+  }
+
+  /** Kind-aware centroid over the rings model (the ST_Centroid rules):
+    * point → anchor; line → length-weighted over all parts' segments
+    * (zero length → first vertex of the first part); polygon → shoelace-
+    * weighted over ALL rings (holes wound CW subtract; |a| < 1e-12 →
+    * plain average of every ring vertex). */
+  def centroidRings(kind: String, lon: Double, lat: Double,
+      rings: scala.collection.Seq[scala.collection.Seq[Double]]): (Double, Double) = kind match {
+    case "point" => (lon, lat)
+    case "line" =>
+      var sx = 0.0; var sy = 0.0; var sl = 0.0
+      rings.foreach { r =>
+        val n = r.length / 2
+        var i = 0
+        while (i < n - 1) {
+          val l = math.sqrt((r(2 * i + 2) - r(2 * i)) * (r(2 * i + 2) - r(2 * i)) +
+            (r(2 * i + 3) - r(2 * i + 1)) * (r(2 * i + 3) - r(2 * i + 1)))
+          sx += (r(2 * i) + r(2 * i + 2)) / 2 * l
+          sy += (r(2 * i + 1) + r(2 * i + 3)) / 2 * l
+          sl += l
+          i += 1
+        }
+      }
+      if (sl == 0.0) (rings.head(0), rings.head(1)) else (sx / sl, sy / sl)
+    case _ =>
+      var cx = 0.0; var cy = 0.0; var a = 0.0
+      rings.foreach { r =>
+        val n = r.length / 2
+        var i = 0
+        while (i < n) {
+          val j = (i + n - 1) % n
+          val cross = r(2 * j) * r(2 * i + 1) - r(2 * i) * r(2 * j + 1)
+          cx += (r(2 * j) + r(2 * i)) * cross
+          cy += (r(2 * j + 1) + r(2 * i + 1)) * cross
+          a += cross
+          i += 1
+        }
+      }
+      if (math.abs(a) < 1e-12) {
+        var sx = 0.0; var sy = 0.0; var n = 0
+        rings.foreach { r =>
+          var i = 0
+          while (i < r.length / 2) { sx += r(2 * i); sy += r(2 * i + 1); n += 1; i += 1 }
+        }
+        (sx / n, sy / n)
+      } else (cx / (3 * a), cy / (3 * a))
+  }
+
   /** Length-weighted centroid of an open polyline (planar, the ST_Centroid
     * linestring rule); degenerate zero-length lines fall back to the first
     * vertex. */

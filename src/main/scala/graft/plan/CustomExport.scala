@@ -40,8 +40,7 @@ object CustomExport {
     var df = ImageTable.derive(images)
     geometry.foreach { g =>
       df = df.filter(PlanBuilder.geometryFilter(g, col("kind"),
-        col("lon"), col("lat"), col("cell"),
-        (0 to 3).map(i => col(s"x$i")), (0 to 3).map(i => col(s"y$i"))))
+        col("lon"), col("lat"), col("cell"), col("rings")))
     }
     df.write.mode(SaveMode.Overwrite).parquet(stagingDir)
     spark.read.parquet(stagingDir)
@@ -56,8 +55,7 @@ object CustomExport {
     val attrs = cat.select.map(a => col("tags")(a).as(PlanBuilder.sanitize(a)))
     // real geometry rides along (the reference's custom-export select always
     // includes geom, builder.py:967-970) so format sinks serialize true shapes
-    val geomCols = Seq(col("lon"), col("lat")) ++
-      (0 to 3).flatMap(i => Seq(col(s"x$i"), col(s"y$i")))
+    val geomCols = Seq(col("lon"), col("lat"), col("rings"), col("roles"))
     b.select(Seq(col("image_id"), col("kind").as("osm_type")) ++ attrs ++
       geomCols: _*)
   }

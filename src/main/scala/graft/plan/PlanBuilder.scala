@@ -85,28 +85,30 @@ object PlanBuilder {
     * parity, builder.py:237 vs :102).
     *
     * The cover is expanded by one cell ring: feature vertices sit within one
-    * res-7 cell of the anchor by construction (GeoCols.vertexCols bounds), so
-    * any intersecting feature has its anchor in cover∪ring1. Anchors inside
-    * fully-interior cells skip the refine (anchor ∈ polygon ⇒ the feature
-    * touches it for every kind: the anchor is a vertex of points/lines and an
-    * interior point of the quad).
+    * res-7 cell of the anchor by construction (GeoCols.featureGeomCols
+    * bounds: |dlon| ≤ 1.7, |dlat| ≤ 0.93), so any intersecting feature has
+    * its anchor in cover∪ring1. Anchors inside fully-interior cells skip the
+    * refine: the anchor is a vertex of points/lines, and for polygons the
+    * shell's inscribed (squashed) disc has radius ≥ 0.103 while any hole
+    * stays inside radius 0.08 — so some feature point within 0.1 of the
+    * anchor lies in every inward direction, hence inside the (≥1.4°-wide)
+    * fully-covered cell, hence inside the request polygon.
     *
     * `cell` should be the materialized bucket column when the table has one
     * (ImageTable.BucketRes == CoverRes): the prefilter then pushes into the
     * parquet scan and prunes row groups on the cell-clustered layout — the
     * reference's `grid = ...` index clause (builder.py:464-470). */
   def geometryFilter(geom: MultiPolygon, kind: Column, lon: Column, lat: Column,
-      cell: Column, xs: Seq[Column], ys: Seq[Column]): Column = {
+      cell: Column, rings: Column): Column = {
     val covers = geom.polys.map(p => Cell.cover(p, CoverRes))
     val fullCells = covers.flatMap(_._1).toSet
     val allCells = covers.flatMap(c => c._1 ++ c._2).toSet
     val expanded = allCells ++ allCells.flatMap(c => Cell.ring(c, 1))
-    // exact refine = compact kernel UDF (each vertex column evaluated once;
-    // the equivalent Column tree is 18-edge × 4-vertex and falls out of
+    // exact refine = compact kernel UDF (each column evaluated once; the
+    // equivalent Column tree over 18 edges × n vertices falls out of
     // codegen — BENCH.md finding #2). The coarse prefilter stays a pushable
     // Column so scan pruning is untouched.
-    val exact = GeoCols.featureIntersectsUdf(geom)(
-      kind, lon, lat, GeoCols.packedVerts(xs, ys))
+    val exact = GeoCols.featureIntersectsRingsUdf(geom)(kind, lon, lat, rings)
     cellIn(cell, expanded) && (cellIn(cell, fullCells) || exact)
   }
 
@@ -130,9 +132,6 @@ object PlanBuilder {
     * builder.py:105-118). */
   def sanitize(name: String): String = name.replaceAll("[:\\s-]", "_")
 
-  private val vxs = (0 to 3).map(i => col(s"x$i"))
-  private val vys = (0 to 3).map(i => col(s"y$i"))
-
   /** P1 default projection / P2 dynamic attribute projection / P3 csv /
     * P4 centroid (ST_Centroid(geom) AS geom when centroid=true,
     * builder.py:157, flag models.py:156-158; the csv path ALWAYS projects
@@ -154,9 +153,8 @@ object PlanBuilder {
       else if (centroid) Seq(clon.as("lon"), clat.as("lat")) // P4: geom REPLACED
       else // default: real geometry rides along (the reference's select list
         // always includes `geom`, builder.py:533-535) so sinks can serialize
-        // true LineString/Polygon shapes
-        Seq(col("lon"), col("lat")) ++
-          (0 to 3).flatMap(i => Seq(col(s"x$i"), col(s"y$i")))
+        // true (Multi)LineString/(Multi)Polygon shapes
+        Seq(col("lon"), col("lat"), col("rings"), col("roles"))
     attrs match {
       case None => // P1: full default projection (builder.py:533-535)
         Seq(col("image_id"), col("kind").as("osm_type"), col("tags")) ++
@@ -183,7 +181,7 @@ object PlanBuilder {
   def build(images: DataFrame, req: SnapshotRequest, csv: Boolean = false): DataFrame = {
     val derived = ImageTable.derive(images)
       .filter(geometryFilter(req.geometry, col("kind"), col("lon"), col("lat"),
-        col("cell"), vxs, vys))
+        col("cell"), col("rings")))
 
     // group adjacent geometry types with identical effective filters (U3)
     val groups: Seq[(Seq[GeomType], TypeFilters)] =
@@ -201,8 +199,8 @@ object PlanBuilder {
       f.tags.foreach(t => b = b.filter(compileTags(t)))
       req.where.foreach(w => b = b.filter(compileWhere(WhereParser.parse(w))))
       if (csv || req.centroid)
-        b = b.withColumn(centroidTmp, GeoCols.centroidUdf(col("kind"),
-          col("lon"), col("lat"), GeoCols.packedVerts(vxs, vys)))
+        b = b.withColumn(centroidTmp, GeoCols.centroidRingsUdf(col("kind"),
+          col("lon"), col("lat"), col("rings")))
       b.select(projection(f.attributes, csv, req.centroid): _*)
     }
     // schema may differ across branches when per-type attribute lists differ
@@ -212,27 +210,28 @@ object PlanBuilder {
   }
 
   /** P5: serialize a result row as a GeoJSON Feature (ST_AsGeoJSON(t0.*),
-    * builder.py:85-95) — pure column JSON assembly. Rows carrying the vertex
-    * columns serialize their real LineString/Polygon geometry; point-only
-    * projections fall back to Point. */
+    * builder.py:85-95). Rows carrying the rings columns serialize their real
+    * (Multi)LineString/(Multi)Polygon geometry; point-only projections fall
+    * back to Point. */
   def toGeoJsonFeature(df: DataFrame): DataFrame =
     df.select(geoJsonFeatureCol(df).as("feature"))
 
   /** The feature-serialization Column itself — composable into wider plans
-    * (e.g. the PMTiles path tile-assigns rows that carry this column). */
+    * (e.g. the PMTiles path tile-assigns rows that carry this column). The
+    * properties/envelope assembly stays pure-Column; the variable-arity
+    * geometry serializes through the compact executor-side kernel UDF. */
   def geoJsonFeatureCol(df: DataFrame): Column = {
     val have = df.columns.toSet
-    val geomColumns = Set("lon", "lat", "kind", "cell") ++
-      (0 to 3).flatMap(i => Seq(s"x$i", s"y$i"))
-    val props = to_json(struct(df.columns.filterNot(geomColumns)
+    val props = to_json(struct(df.columns.filterNot(graft.sinks.FeatureModel.geomCols)
       .map(col).toIndexedSeq: _*))
     // the kind column is `kind` on raw feature tables and `osm_type` on
     // build() outputs (same values, renamed by the projection)
     val kindCol = if (have("kind")) Some(col("kind"))
       else if (have("osm_type")) Some(col("osm_type")) else None
     val geomJson = kindCol match {
-      case Some(k) if have("x0") =>
-        GeoCols.geoJsonGeomCol(k, col("lon"), col("lat"), vxs, vys)
+      case Some(k) if have("rings") =>
+        GeoCols.geoJsonGeomUdf(k, col("lon"), col("lat"), col("rings"),
+          if (have("roles")) col("roles") else array().cast("array<int>"))
       case _ => concat(lit("""{"type":"Point","coordinates":["""),
         col("lon").cast("string"), lit(","), col("lat").cast("string"), lit("]}"))
     }

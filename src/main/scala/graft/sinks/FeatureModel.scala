@@ -5,17 +5,20 @@ import org.apache.spark.sql.types.MapType
 
 /** The one shared view of the engine's feature model for row-streaming
   * sinks: geometry-column set, the `kind`/`osm_type` alias, jsonb-style map
-  * stringification, and the per-row kind → vertex extraction. FlatGeobuf,
-  * GPKG and PGDump all consume this; a feature-model change (extra vertex,
-  * new kind) lands here once. (The shapefile sink predates this helper and
-  * keeps its own cw-rewound framing; `PlanBuilder.geoJsonFeatureCol` is the
-  * Column-expression twin of the same model.)
+  * stringification, and the per-row geometry extraction. FlatGeobuf, GPKG,
+  * PGDump and the XML/JSON sinks all consume this; a feature-model change
+  * lands here once. (`GeoCols.geoJsonGeomUdf` is the plan-side twin of the
+  * same model.)
+  *
+  * Geometry storage (the reference's arbitrary OSM geometry, backend/
+  * raw.lua:128-180): `rings` array<array<double>> of flat xy rings plus
+  * `roles` array<int> (0 = outer ring / line part, 1 = hole of the
+  * preceding outer), routed by `kind`.
   */
 object FeatureModel {
 
   /** Geometry model columns — everything else is an attribute. */
-  val geomCols: Set[String] = Set("kind", "lon", "lat", "cell") ++
-    (0 to 3).flatMap(i => Seq(s"x$i", s"y$i"))
+  val geomCols: Set[String] = Set("kind", "lon", "lat", "cell", "rings", "roles")
 
   /** `kind` on raw feature tables, `osm_type` on build() outputs. */
   def withKind(df0: DataFrame): DataFrame =
@@ -36,9 +39,49 @@ object FeatureModel {
       }
     }
 
-  /** One row's geometry: WKB/FGB type id (1=Point, 2=LineString, 3=Polygon)
-    * + vertices (polygon = CLOSED ccw quad ring). */
-  final case class Geom(gtype: Int, pts: IndexedSeq[(Double, Double)])
+  /** One row's geometry, WKB-family type id:
+    *  1=Point, 2=LineString, 3=Polygon, 5=MultiLineString, 6=MultiPolygon.
+    * `parts`: for (Multi)Polygon one entry per part, each = outer ring then
+    * its holes, every ring CLOSED (first vertex repeated); for
+    * (Multi)LineString one open polyline per part; for Point one part with
+    * the single vertex. */
+  final case class Geom(gtype: Int, parts: IndexedSeq[IndexedSeq[IndexedSeq[(Double, Double)]]]) {
+    /** Every vertex, in storage order — envelope accumulation. */
+    def allPts: IndexedSeq[(Double, Double)] = parts.flatten.flatten
+  }
+
+  private def toPts(flat: scala.collection.Seq[Double], close: Boolean): IndexedSeq[(Double, Double)] = {
+    val pts = (0 until flat.length / 2).map(i => (flat(2 * i), flat(2 * i + 1)))
+    if (close && pts.nonEmpty) pts :+ pts.head else pts
+  }
+
+  /** Group flat rings + roles into closed-ring parts (role 0 opens a part,
+    * role 1 appends a hole to the current one). */
+  def groupParts(rings: scala.collection.Seq[scala.collection.Seq[Double]],
+      roles: scala.collection.Seq[Int], close: Boolean): IndexedSeq[IndexedSeq[IndexedSeq[(Double, Double)]]] = {
+    val parts = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[IndexedSeq[(Double, Double)]]]
+    rings.indices.foreach { k =>
+      val ring = toPts(rings(k), close)
+      if (k < roles.length && roles(k) == 1 && parts.nonEmpty) parts.last += ring
+      else parts += scala.collection.mutable.ArrayBuffer(ring)
+    }
+    parts.map(_.toIndexedSeq).toIndexedSeq
+  }
+
+  /** Build a [[Geom]] straight from the storage model (kind + anchor +
+    * rings/roles) — the one place the kind → geometry-type routing lives. */
+  def fromRings(kind: String, lon: Double, lat: Double,
+      rings: scala.collection.Seq[scala.collection.Seq[Double]],
+      roles: scala.collection.Seq[Int]): Geom = kind match {
+    case "line" if rings.nonEmpty =>
+      val parts = rings.map(fl => IndexedSeq(toPts(fl, close = false))).toIndexedSeq
+      Geom(if (parts.length > 1) 5 else 2, parts)
+    case "polygon" if rings.nonEmpty =>
+      val parts = groupParts(rings, roles, close = true)
+      Geom(if (parts.length > 1) 6 else 3, parts)
+    case _ => Geom(1, IndexedSeq(IndexedSeq(IndexedSeq((lon, lat)))))
+  }
 
   /** Row-side geometry reader over column POSITIONS (serializable, usable
     * map-side). None when the frame carries no anchor columns (csv/centroid
@@ -47,19 +90,19 @@ object FeatureModel {
     val idx = columns.zipWithIndex.toMap
     if (!idx.contains("lon") || !idx.contains("lat")) None
     else {
-      val haveVerts = idx.contains("x0") && idx.contains("kind")
+      val haveRings = idx.contains("rings") && idx.contains("kind")
       val kindIdx = idx.getOrElse("kind", -1)
+      val ringsIdx = idx.getOrElse("rings", -1)
+      val rolesIdx = idx.getOrElse("roles", -1)
       Some { r =>
-        def d(c: String): Double = r.getDouble(idx(c))
-        val kind = if (haveVerts) r.getString(kindIdx) else "point"
-        kind match {
-          case "line" =>
-            Geom(2, (0 to 2).map(i => (d(s"x$i"), d(s"y$i"))).toIndexedSeq)
-          case "polygon" =>
-            val q = (0 to 3).map(i => (d(s"x$i"), d(s"y$i")))
-            Geom(3, (q :+ q.head).toIndexedSeq)
-          case _ => Geom(1, Vector((d("lon"), d("lat"))))
-        }
+        val kind = if (haveRings) r.getString(kindIdx) else "point"
+        val hasRings = haveRings && !r.isNullAt(ringsIdx)
+        val rings = if (hasRings) r.getSeq[scala.collection.Seq[Double]](ringsIdx) else Nil
+        val roles =
+          if (rolesIdx >= 0 && !r.isNullAt(rolesIdx)) r.getSeq[Int](rolesIdx)
+          else Seq.fill(rings.length)(0)
+        fromRings(kind, r.getDouble(idx("lon")), r.getDouble(idx("lat")),
+          rings, roles)
       }
     }
   }

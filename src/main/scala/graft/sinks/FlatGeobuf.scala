@@ -40,6 +40,7 @@ object FlatGeobuf {
 
   // GeometryType enum (geometry.fbs)
   val GtUnknown = 0; val GtPoint = 1; val GtLineString = 2; val GtPolygon = 3
+  val GtMultiLineString = 5; val GtMultiPolygon = 6
 
   // ColumnType enum (header.fbs)
   val CtBool = 2; val CtInt = 5; val CtLong = 7; val CtDouble = 10; val CtString = 11
@@ -91,20 +92,54 @@ object FlatGeobuf {
     b.sizedByteArray()
   }
 
-  /** Feature table (feature.fbs): 0=geometry 1=properties 2=columns.
-    * Geometry table (geometry.fbs): 0=ends 1=xy ... 6=type. */
-  private def featureBytes(gtype: Int, xy: Array[Double], props: Array[Byte]): Array[Byte] = {
+  /** Geometry table (geometry.fbs): 0=ends 1=xy 2..5=z/m/t/tm 6=type
+    * 7=parts. One flat (sub-)geometry: xy = all rings concatenated, ends =
+    * cumulative per-ring END vertex index (written only for multi-ring
+    * geometry, the spec's convention). */
+  private def geometryOffset(b: FlatBufferBuilder, gtype: Int,
+      rings: Seq[IndexedSeq[(Double, Double)]]): Int = {
+    val xy = rings.flatten
+    b.startVector(8, xy.length * 2, 8)
+    // flatbuffers vectors build in reverse: per reversed pair push y then x
+    xy.reverse.foreach { case (x, y) => b.addDouble(y); b.addDouble(x) }
+    val xyVec = b.endVector()
+    val endsVec = if (rings.length > 1) {
+      val ends = rings.scanLeft(0)((a, r) => a + r.length).tail
+      b.startVector(4, ends.length, 4)
+      ends.reverse.foreach(b.addInt)
+      b.endVector()
+    } else 0
+    b.startTable(8)
+    if (endsVec != 0) b.addOffset(0, endsVec, 0)
+    b.addOffset(1, xyVec, 0)
+    b.addByte(6, gtype.toByte, 0)
+    b.endTable()
+  }
+
+  /** MultiPolygon: parts vector (slot 7) of Polygon sub-geometries, each
+    * with its own xy + ends — the spec's nested-geometry shape. */
+  private def multiPolygonOffset(b: FlatBufferBuilder,
+      parts: Seq[Seq[IndexedSeq[(Double, Double)]]]): Int = {
+    val partOffs = parts.map(p => geometryOffset(b, GtPolygon, p)).toArray
+    val partsVec = b.createVectorOfTables(partOffs)
+    b.startTable(8)
+    b.addOffset(7, partsVec, 0)
+    b.addByte(6, GtMultiPolygon.toByte, 0)
+    b.endTable()
+  }
+
+  /** Feature table (feature.fbs): 0=geometry 1=properties 2=columns. */
+  private def featureBytes(geom: Option[FeatureModel.Geom], props: Array[Byte]): Array[Byte] = {
     val b = new FlatBufferBuilder(512)
     // geometry-less record (csv/centroid-shaped extracts): Feature.geometry
     // is an optional field — attribute-only rows are legal FlatGeobuf
-    val geomOff = if (xy.isEmpty) 0 else {
-      b.startVector(8, xy.length, 8)
-      xy.reverse.foreach(b.addDouble)
-      val xyVec = b.endVector()
-      b.startTable(8)
-      b.addOffset(1, xyVec, 0)
-      b.addByte(6, gtype.toByte, 0)
-      b.endTable()
+    val geomOff = geom match {
+      case None => 0
+      case Some(g) => g.gtype match {
+        case 6 => multiPolygonOffset(b, g.parts)
+        case 5 => geometryOffset(b, GtMultiLineString, g.parts.map(_.head))
+        case t => geometryOffset(b, t, g.parts.head)
+      }
     }
     val propsOff = if (props.nonEmpty) b.createByteVector(props) else 0
     b.startTable(3)
@@ -149,14 +184,7 @@ object FlatGeobuf {
   def rowEncoder(columns: Seq[String],
       attrs: Seq[(Int, Int)]): Row => Array[Byte] = {
     val geomOf = FeatureModel.geomReader(columns)
-    (r: Row) => geomOf match {
-      case Some(g) =>
-        val geom = g(r)
-        featureBytes(geom.gtype,
-          geom.pts.flatMap { case (x, y) => Seq(x, y) }.toArray,
-          propBytes(r, attrs))
-      case None => featureBytes(0, Array.emptyDoubleArray, propBytes(r, attrs))
-    }
+    (r: Row) => featureBytes(geomOf.map(_(r)), propBytes(r, attrs))
   }
 
   private def prep(df0: DataFrame): (DataFrame, Seq[(String, Int)], Seq[(Int, Int)]) = {
@@ -201,7 +229,7 @@ object FlatGeobuf {
       while (it.hasNext) {
         val r = it.next()
         out.write(encode(r)); n += 1
-        geomOf.foreach(_(r).pts.foreach { case (x, y) =>
+        geomOf.foreach(_(r).allPts.foreach { case (x, y) =>
           if (x < minX) minX = x; if (x > maxX) maxX = x
           if (y < minY) minY = y; if (y > maxY) maxY = y
         })
@@ -234,7 +262,7 @@ object FlatGeobuf {
     val partsDir = path + ".export"
     Lineage.exportResumableBytes(df, partsDir, encode,
       ext = "fgbpart", failAtPartition = failAtPartition,
-      coords = geomOf.map(g => (r: Row) => g(r).pts))
+      coords = geomOf.map(g => (r: Row) => g(r).allPts))
     val manifest = Lineage.finish(df.sparkSession, partsDir)
     val n = {
       import org.apache.spark.sql.functions._

@@ -18,37 +18,25 @@ import org.apache.spark.sql.types._
   *
   * Geometry is the GeoPackageBinary blob: "GP" magic, version 0, flags with
   * envelope indicator 1, little-endian srs_id, [minx maxx miny maxy]
-  * envelope, then standard little-endian WKB — Point / LineString / Polygon
-  * from the engine's feature model.
+  * envelope, then standard little-endian WKB — Point / LineString /
+  * Polygon / MultiLineString / MultiPolygon from the engine's feature
+  * model ([[Wkb]]).
   */
 object Gpkg {
 
-  /** GeoPackageBinary header + WKB. */
-  def gpb(gtype: Int, pts: Seq[(Double, Double)]): Array[Byte] = {
-    val wkbLen = gtype match {
-      case 1 => 5 + 16
-      case 2 => 5 + 4 + pts.length * 16
-      case _ => 5 + 4 + 4 + pts.length * 16
-    }
-    val b = ByteBuffer.allocate(8 + 32 + wkbLen)
+  /** GeoPackageBinary header + WKB (full multi-part/multi-ring support via
+    * [[Wkb]]). */
+  def gpb(geom: FeatureModel.Geom): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + 32 + Wkb.size(geom))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     b.put('G'.toByte).put('P'.toByte)
     b.put(0.toByte) // version
     b.put(0x03.toByte) // flags: little-endian (bit0) + envelope indicator 1
     b.putInt(4326)
+    val pts = geom.allPts
     val xs = pts.map(_._1); val ys = pts.map(_._2)
     b.putDouble(xs.min).putDouble(xs.max).putDouble(ys.min).putDouble(ys.max)
-    b.put(1.toByte) // WKB little-endian
-    b.putInt(gtype)
-    gtype match {
-      case 1 => b.putDouble(pts.head._1).putDouble(pts.head._2)
-      case 2 =>
-        b.putInt(pts.length)
-        pts.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
-      case _ =>
-        b.putInt(1).putInt(pts.length)
-        pts.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
-    }
+    Wkb.put(b, geom)
     b.array()
   }
 
@@ -86,7 +74,7 @@ object Gpkg {
   private def rowRecord(attrIdxs: Seq[Int],
       geomOf: Option[Row => FeatureModel.Geom])(r: Row): Array[Byte] = {
     val blob: Any = geomOf match {
-      case Some(g) => val geom = g(r); gpb(geom.gtype, geom.pts)
+      case Some(g) => gpb(g(r))
       case None => null
     }
     Sqlite.record((null: Any) +: attrIdxs.map(i => typed(r.get(i))) :+ blob)
@@ -116,7 +104,7 @@ object Gpkg {
       def next(): (Long, Array[Byte]) = {
         val r = it.next()
         n += 1
-        geomOf.foreach(g => g(r).pts.foreach { case (x, y) =>
+        geomOf.foreach(g => g(r).allPts.foreach { case (x, y) =>
           if (x < minX) minX = x; if (x > maxX) maxX = x
           if (y < minY) minY = y; if (y > maxY) maxY = y
         })
@@ -153,7 +141,7 @@ object Gpkg {
     val stateDir = s"$path.state"
     graft.lineage.Lineage.exportResumableBytes(df, stateDir, encode,
       ext = "rec", failAtPartition = failAtPartition,
-      coords = geomOf.map(g => (r: Row) => g(r).pts))
+      coords = geomOf.map(g => (r: Row) => g(r).allPts))
 
     Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
     val db = new Sqlite(path)

@@ -102,7 +102,10 @@ object Mvt {
     * ClosePath closes them on the wire). */
   final case class Feature(
       id: Option[Long], gtype: Int, rings: Seq[IndexedSeq[(Long, Long)]],
-      attrs: Seq[(String, Any)])
+      attrs: Seq[(String, Any)],
+      /** per-ring exterior flags for polygons (multipolygon support);
+        * None = the first ring is the only exterior */
+      exterior: Option[Seq[Boolean]] = None)
 
   /** Signed area ×2 in screen coordinates (y down). MVT v2 requires exterior
     * rings CW on screen = positive shoelace sum under y-down. */
@@ -150,20 +153,23 @@ object Mvt {
       case 3 =>
         f.rings.zipWithIndex.foreach { case (raw, i) =>
           val d = dedupConsecutive(raw)
+          val isExterior = f.exterior.map(_(i)).getOrElse(i == 0)
           val ring0 =
             if (d.length >= 3 && screenArea2(d) != 0) d
-            else {
+            else if (isExterior) {
               val (x, y) = d.head // unit square, CW in screen coords
               IndexedSeq((x, y), (x + 1, y), (x + 1, y + 1), (x, y + 1))
-            }
-          // exterior (first) ring CW on screen (positive y-down shoelace),
+            } else IndexedSeq.empty // a collapsed HOLE simply vanishes
+          // exterior rings CW on screen (positive y-down shoelace),
           // interior rings CCW — rewind when the source disagrees
-          val wantPositive = i == 0
+          val wantPositive = isExterior
+          if (ring0.nonEmpty) {
           val ring =
             if ((screenArea2(ring0) > 0) == wantPositive) ring0 else ring0.reverse
           cmds += command(1, 1); push(ring.head)
           cmds += command(2, ring.length - 1); ring.tail.foreach(push)
           cmds += command(7, 1)
+          }
         }
     }
     cmds.toSeq
@@ -235,7 +241,7 @@ object Mvt {
 
   // ---- the distributed tile-payload pipeline -------------------------------
 
-  /** Feature DataFrame (kind, lon, lat, x0..y3 + attribute columns) →
+  /** Feature DataFrame (kind, lon, lat, rings, roles + attribute columns) →
     * (z, tx, ty, payload) with one gzip MVT tile per row. The per-tile
     * groupBy is the only shuffle (plus one more when the cap engages);
     * encode + gzip are a narrow typed map.
@@ -252,11 +258,12 @@ object Mvt {
       layerName: String, extent: Int = DefaultExtent,
       maxFeaturesPerTile: Int = 10000): DataFrame = {
     val df = FeatureModel.prepare(df0)
-    val haveVerts = df.columns.contains("x0") && df.columns.contains("kind")
+    val haveVerts = df.columns.contains("rings") && df.columns.contains("kind")
     val geomStruct =
       if (haveVerts)
-        struct(col("kind") +: col("lon") +: col("lat") +:
-          (0 to 3).flatMap(i => Seq(col(s"x$i"), col(s"y$i"))): _*)
+        struct(col("kind"), col("lon"), col("lat"), col("rings"),
+          if (df.columns.contains("roles")) col("roles")
+          else array().cast("array<int>"))
       else struct(lit("point").as("kind"), col("lon"), col("lat"))
     val attrCols = df.columns.filterNot(FeatureModel.geomCols).toSeq
     val packed = df.select(
@@ -294,15 +301,22 @@ object Mvt {
         val g = fr.getStruct(0); val a = fr.getStruct(1)
         val kind = g.getString(0)
         val lon = g.getDouble(1); val lat = g.getDouble(2)
-        def v(i: Int): (Double, Double) = (g.getDouble(3 + 2 * i), g.getDouble(4 + 2 * i))
-        def local(p: (Double, Double)): (Long, Long) =
-          tileLocal(z, tx, ty, extent, p._1, p._2)
-        val (gtype, rings) = kind match {
-          case "line" if g.length > 3 =>
-            (2, Seq((0 to 2).map(i => local(v(i))).toIndexedSeq))
-          case "polygon" if g.length > 3 =>
-            (3, Seq((0 to 3).map(i => local(v(i))).toIndexedSeq))
-          case _ => (1, Seq(IndexedSeq(local((lon, lat)))))
+        def local(x: Double, y: Double): (Long, Long) =
+          tileLocal(z, tx, ty, extent, x, y)
+        def localRing(fl: scala.collection.Seq[Double]): IndexedSeq[(Long, Long)] =
+          (0 until fl.length / 2).map(i => local(fl(2 * i), fl(2 * i + 1)))
+        val storedRings =
+          if (g.length > 3 && !g.isNullAt(3)) g.getSeq[scala.collection.Seq[Double]](3) else Nil
+        val storedRoles =
+          if (g.length > 4 && !g.isNullAt(4)) g.getSeq[Int](4)
+          else Seq.fill(storedRings.length)(0)
+        val (gtype, rings, exterior) = kind match {
+          case "line" if storedRings.nonEmpty =>
+            (2, storedRings.map(localRing), None)
+          case "polygon" if storedRings.nonEmpty =>
+            (3, storedRings.map(localRing),
+              Some(storedRoles.map(_ == 0)))
+          case _ => (1, Seq(IndexedSeq(local(lon, lat))), None)
         }
         val attrs = attrCols.indices.map { i =>
           attrCols(i) -> (if (a.isNullAt(i)) "" else a.get(i))
@@ -311,7 +325,7 @@ object Mvt {
           a.get(idIdx) match {
             case l: Long => Some(l); case i: Int => Some(i.toLong); case _ => None }
         else None
-        Feature(id, gtype, rings, attrs)
+        Feature(id, gtype, rings, attrs, exterior)
       // collect_list order is nondeterministic; fix it (id, canonical attr
       // values — binary attrs would toString to identity hashes — then
       // geometry for attr-less frames) so re-runs produce byte-identical

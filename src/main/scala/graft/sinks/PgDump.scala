@@ -52,47 +52,26 @@ object PgDump {
 
   private val Hex = "0123456789ABCDEF".toCharArray
 
-  private def hex(b: java.nio.ByteBuffer): String = {
-    val arr = b.array()
+  /** Hex EWKB with the PostGIS SRID extension on the top-level type —
+    * full multi-part/multi-ring support via [[Wkb]] (nested sub-geometries
+    * stay plain WKB, matching PostGIS). */
+  def ewkbHex(geom: FeatureModel.Geom): String = {
+    val b = java.nio.ByteBuffer.allocate(4 + Wkb.size(geom))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Wkb.put(b, geom, sridFlag = 4326)
+    // allocate covers the 4-byte SRID extension; trim any slack defensively
+    val used = b.position()
+    val full = b.array()
+    val arr = if (used == full.length) full else java.util.Arrays.copyOf(full, used)
     val sb = new StringBuilder(arr.length * 2)
     arr.foreach { x => sb.append(Hex((x >> 4) & 0xf)).append(Hex(x & 0xf)) }
     sb.toString
   }
 
-  private def ewkb(gtype: Int, coordCount: Int)(fill: java.nio.ByteBuffer => Unit): String = {
-    val ringHeader = gtype match {
-      case 2 => 4 // numPoints
-      case 3 => 8 // numRings + ring numPoints
-      case _ => 0
-    }
-    val b = java.nio.ByteBuffer.allocate(1 + 4 + 4 + ringHeader + coordCount * 16)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    b.put(1.toByte) // little-endian marker
-    b.putInt(gtype | 0x20000000) // SRID flag
-    b.putInt(4326)
-    gtype match {
-      case 2 => b.putInt(coordCount)
-      case 3 => b.putInt(1).putInt(coordCount)
-      case _ =>
-    }
-    fill(b)
-    hex(b)
-  }
-
-  def pointEwkb(x: Double, y: Double): String =
-    ewkb(1, 1)(b => { b.putDouble(x).putDouble(y); () })
-
-  def lineEwkb(pts: Seq[(Double, Double)]): String =
-    ewkb(2, pts.length)(b => pts.foreach { case (x, y) => b.putDouble(x).putDouble(y) })
-
-  /** Closed single-ring polygon. */
-  def polygonEwkb(ring: Seq[(Double, Double)]): String =
-    ewkb(3, ring.length)(b => ring.foreach { case (x, y) => b.putDouble(x).putDouble(y) })
-
   // ---- writer ----------------------------------------------------------------
 
   /** Write the extract as a psql-replayable PGDump script. Returns the row
-    * count. Geometry columns (lon/lat/kind/x0..y3/cell) collapse into one
+    * count. Geometry columns (lon/lat/kind/rings/roles/cell) collapse into one
     * `geom geometry(Geometry,4326)` column; everything else keeps its type. */
   private final case class Prep(df: DataFrame, header: String,
       encode: Row => Array[Byte])
@@ -119,11 +98,7 @@ object PgDump {
     // per-row COPY line as a serializable closure over column positions —
     // usable driver-side and map-side alike
     val encode: Row => Array[Byte] = { r =>
-      def geomHex: String = geomOf.get(r) match {
-        case FeatureModel.Geom(1, pts) => pointEwkb(pts.head._1, pts.head._2)
-        case FeatureModel.Geom(2, pts) => lineEwkb(pts)
-        case FeatureModel.Geom(_, pts) => polygonEwkb(pts)
-      }
+      def geomHex: String = ewkbHex(geomOf.get(r))
       val attrVals = attrNames.map { c =>
         Option(r.get(idx(c))).map(v => esc(v.toString)).getOrElse("\\N")
       }

@@ -14,8 +14,9 @@ import org.apache.spark.sql.{DataFrame, Row}
   * A shapefile holds ONE shape type, so the writer splits by `kind` into
   * point/line/polygon file triples — exactly what the reference's shp path
   * does (it zips per-type files). Geometry comes from the engine's feature
-  * model: anchor for points, the 3-vertex polyline, the quad ring (closed,
-  * rewound clockwise as the spec requires for outer rings).
+  * model: anchor for points, arbitrary multi-part polylines, and
+  * multi-ring/multi-part polygon records (outer rings rewound clockwise,
+  * holes counter-clockwise, as the spec requires).
   *
   * Writing is a driver-side stream over `toLocalIterator` — a shapefile is a
   * single file with a global header (bbox + total length patched at the end
@@ -74,11 +75,17 @@ object Shapefile {
   private def pointShape(x: Double, y: Double): Array[Byte] =
     le(1) ++ led(x) ++ led(y)
 
-  private def polyShape(shapeType: Int, pts: Seq[(Double, Double)]): Array[Byte] = {
+  /** PolyLine/Polygon record: numParts + per-part start offsets — a
+    * Polygon record carries EVERY ring of a (multi)polygon (outer CW,
+    * holes CCW), a PolyLine record every part of a MultiLineString. */
+  private def polyShape(shapeType: Int, parts: Seq[Seq[(Double, Double)]]): Array[Byte] = {
+    val allPts = parts.flatten
     val ext = Extent()
-    pts.foreach { case (x, y) => ext.add(x, y) }
-    le(shapeType) ++ ext.bytes ++ le(1) ++ le(pts.length) ++ le(0) ++
-      pts.flatMap { case (x, y) => led(x) ++ led(y) }.toArray
+    allPts.foreach { case (x, y) => ext.add(x, y) }
+    val offsets = parts.scanLeft(0)((a, p) => a + p.length).init
+    le(shapeType) ++ ext.bytes ++ le(parts.length) ++ le(allPts.length) ++
+      offsets.flatMap(le).toArray ++
+      allPts.flatMap { case (x, y) => led(x) ++ led(y) }.toArray
   }
 
   /** One fixed-width dBASE record (leading space = not-deleted marker) —
@@ -147,11 +154,11 @@ object Shapefile {
     case _ => 5
   }
 
-  /** Write one shape type's triple; rows are (geometryPts, attributes).
+  /** Write one shape type's triple; rows are (geometryParts, attributes).
     * Returns the record count. */
   private def writeTriple(base: String, kind: String,
       fieldNames: Seq[String],
-      rows: Iterator[(Seq[(Double, Double)], Seq[String])]): Int = {
+      rows: Iterator[(Seq[IndexedSeq[(Double, Double)]], Seq[String])]): Int = {
     val st = kindShapeType(kind)
     val shp = new Patchable(s"$base.shp")
     val shx = new Patchable(s"$base.shx")
@@ -162,11 +169,11 @@ object Shapefile {
     var recNo = 0
     // one streaming pass feeds all three files — nothing is buffered beyond
     // the current record
-    rows.foreach { case (pts, attrs) =>
+    rows.foreach { case (parts, attrs) =>
       recNo += 1
-      val shape = if (st == 1) pointShape(pts.head._1, pts.head._2)
-        else polyShape(st, pts)
-      pts.foreach { case (x, y) => ext.add(x, y) }
+      val shape = if (st == 1) pointShape(parts.head.head._1, parts.head.head._2)
+        else polyShape(st, parts)
+      parts.foreach(_.foreach { case (x, y) => ext.add(x, y) })
       shx.writeBytes(be((shp.written / 2).toInt) ++ be(shape.length / 2))
       shp.writeBytes(be(recNo) ++ be(shape.length / 2) ++ shape)
       dbf.write(attrs)
@@ -232,13 +239,13 @@ object Shapefile {
     val idx = df.columns.zipWithIndex.toMap
     // centroid/csv-shaped extracts drop the vertex columns — the shared
     // reader falls back to point geometry instead of an opaque lookup error
-    val haveVerts = df.columns.contains("x0")
+    val haveVerts = df.columns.contains("rings")
     val geometry = geometryClosure(df.columns.toIndexedSeq)
     Seq("point", "line", "polygon").map { kind =>
       val it = df.filter(df.col("kind") === kind).toLocalIterator()
-      val rows = new Iterator[(Seq[(Double, Double)], Seq[String])] {
+      val rows = new Iterator[(Seq[IndexedSeq[(Double, Double)]], Seq[String])] {
         def hasNext: Boolean = it.hasNext
-        def next(): (Seq[(Double, Double)], Seq[String]) = {
+        def next(): (Seq[IndexedSeq[(Double, Double)]], Seq[String]) = {
           val r = it.next()
           (geometry(r),
             attrCols.map(c => Option(r.get(idx(c))).map(_.toString).orNull))
@@ -249,18 +256,20 @@ object Shapefile {
     }.toMap
   }
 
-  /** The shapefile-spec geometry per row (cw-rewound outer rings);
-    * serializable, shared by the driver and distributed writers. */
-  private def geometryClosure(columns: IndexedSeq[String]): Row => Seq[(Double, Double)] = {
+  /** The shapefile-spec geometry parts per row; serializable, shared by the
+    * driver and distributed writers. Polygons: every ring of every part in
+    * one record, REVERSED — the shared model winds shells CCW / holes CW,
+    * the shapefile spec wants outer CW / holes CCW, and reversing a closed
+    * ring keeps it closed. Lines: one part per polyline. */
+  private def geometryClosure(columns: IndexedSeq[String]): Row => Seq[IndexedSeq[(Double, Double)]] = {
     val g = FeatureModel.geomReader(columns).getOrElse(throw new IllegalArgumentException(
       s"shapefile export needs lon/lat anchor columns; got ${columns.mkString(",")}"))
-    (r: Row) => g(r) match {
-      case FeatureModel.Geom(3, pts) =>
-        // shared model gives the closed ccw quad; the shapefile spec
-        // requires cw outer rings — rewind
-        val ccw = pts.init
-        (ccw.head +: ccw.tail.reverse) :+ ccw.head
-      case FeatureModel.Geom(_, pts) => pts
+    (r: Row) => {
+      val geom = g(r)
+      geom.gtype match {
+        case 3 | 6 => geom.parts.flatten.map(_.reverse)
+        case _ => geom.parts.map(_.head)
+      }
     }
   }
 
@@ -277,16 +286,16 @@ object Shapefile {
     val attrCols = df.columns.filterNot(FeatureModel.geomCols).toSeq
     val idx = df.columns.zipWithIndex.toMap
     val attrIdxs = attrCols.map(idx)
-    val haveVerts = df.columns.contains("x0")
+    val haveVerts = df.columns.contains("rings")
     val geometry = geometryClosure(df.columns.toIndexedSeq)
     val dbfWidth = 64
     val nFields = attrCols.size
     Seq("point", "line", "polygon").map { kind =>
       val st = kindShapeType(if (haveVerts) kind else "point")
       val encode = (r: Row) => {
-        val pts = geometry(r)
-        val shape = if (st == 1) pointShape(pts.head._1, pts.head._2)
-          else polyShape(st, pts)
+        val parts = geometry(r)
+        val shape = if (st == 1) pointShape(parts.head.head._1, parts.head.head._2)
+          else polyShape(st, parts)
         val dbfRec = dbfRecord(
           attrIdxs.map(i => Option(r.get(i)).map(_.toString).orNull),
           nFields, dbfWidth)
@@ -296,7 +305,7 @@ object Shapefile {
       val part = df.filter(df.col("kind") === kind)
       graft.lineage.Lineage.exportResumableBytes(part, stateDir, encode,
         ext = "shpart", failAtPartition = failAtPartition,
-        coords = Some((r: Row) => geometry(r)))
+        coords = Some((r: Row) => geometry(r).flatten))
       val dbfRecSize = 1 + nFields * dbfWidth
       val frames: Iterator[(Array[Byte], Array[Byte])] =
         graft.lineage.Lineage.committedPartFiles(stateDir, "shpart").iterator

@@ -138,34 +138,22 @@ object Sinks {
   def kml(extract: DataFrame, path: String): Long = {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths}
-    val idx = extract.columns.zipWithIndex.toMap
-    // `kind` on raw feature tables, `osm_type` on build() outputs
-    val kindIdx = idx.get("kind").orElse(idx.get("osm_type"))
-    val hasGeom = kindIdx.isDefined && idx.contains("x0")
+    val prepared = FeatureModel.withKind(extract)
+    val idx = prepared.columns.zipWithIndex.toMap
+    val geomOf = FeatureModel.geomReader(prepared.columns.toIndexedSeq)
     val w = Files.newBufferedWriter(Paths.get(path), StandardCharsets.UTF_8)
     var n = 0L
     try {
       w.write("""<?xml version="1.0" encoding="UTF-8"?>""")
       w.write("""<kml xmlns="http://www.opengis.net/kml/2.2"><Document>""")
-      val it = extract.toLocalIterator()
+      val it = prepared.toLocalIterator()
       while (it.hasNext) {
         val r = it.next()
-        def d(c: String) = r.getDouble(idx(c))
         // honest name: the id column when present, empty otherwise (never a
         // silent substitute column)
         val name = idx.get("image_id")
           .flatMap(i => Option(r.get(i))).map(_.toString).getOrElse("")
-        val geom =
-          if (!hasGeom || r.getString(kindIdx.get) == "point")
-            s"<Point><coordinates>${d("lon")},${d("lat")}</coordinates></Point>"
-          else if (r.getString(kindIdx.get) == "line")
-            "<LineString><coordinates>" +
-              (0 to 2).map(i => s"${d(s"x$i")},${d(s"y$i")}").mkString(" ") +
-              "</coordinates></LineString>"
-          else
-            "<Polygon><outerBoundaryIs><LinearRing><coordinates>" +
-              ((0 to 3) :+ 0).map(i => s"${d(s"x$i")},${d(s"y$i")}").mkString(" ") +
-              "</coordinates></LinearRing></outerBoundaryIs></Polygon>"
+        val geom = geomOf.map(g => kmlGeom(g(r))).getOrElse("")
         val esc = name.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
         w.write(s"<Placemark><name>$esc</name>$geom</Placemark>")
         n += 1
@@ -173,6 +161,35 @@ object Sinks {
       w.write("</Document></kml>")
     } finally w.close()
     n
+  }
+
+  /** KML geometry per [[FeatureModel.Geom]] — Point / LineString / Polygon
+    * with innerBoundaryIs holes / MultiGeometry for multi-part shapes. Pure
+    * and serializable (shared by the driver loop and the executor-side
+    * placemark UDF). */
+  def kmlGeom(g: FeatureModel.Geom): String = {
+    def coords(pts: Seq[(Double, Double)]): String =
+      pts.map { case (x, y) => s"$x,$y" }.mkString(" ")
+    def lineXml(pts: Seq[(Double, Double)]): String =
+      s"<LineString><coordinates>${coords(pts)}</coordinates></LineString>"
+    def polyXml(rings: Seq[IndexedSeq[(Double, Double)]]): String = {
+      val outer = "<outerBoundaryIs><LinearRing><coordinates>" +
+        coords(rings.head) + "</coordinates></LinearRing></outerBoundaryIs>"
+      val inner = rings.tail.map(h => "<innerBoundaryIs><LinearRing><coordinates>" +
+        coords(h) + "</coordinates></LinearRing></innerBoundaryIs>").mkString
+      s"<Polygon>$outer$inner</Polygon>"
+    }
+    g.gtype match {
+      case 1 =>
+        val (x, y) = g.parts.head.head.head
+        s"<Point><coordinates>$x,$y</coordinates></Point>"
+      case 2 => lineXml(g.parts.head.head)
+      case 3 => polyXml(g.parts.head)
+      case 5 => "<MultiGeometry>" +
+        g.parts.map(p => lineXml(p.head)).mkString + "</MultiGeometry>"
+      case _ => "<MultiGeometry>" +
+        g.parts.map(polyXml).mkString + "</MultiGeometry>"
+    }
   }
 
   /** Placemark serialization as a Column EXPRESSION — KML's analogue of
@@ -191,28 +208,27 @@ object Sinks {
       else lit("")
     def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
       concat(x.cast("string"), lit(","), y.cast("string"))
-    val xs = (0 to 3).map(i => col(s"x$i")); val ys = (0 to 3).map(i => col(s"y$i"))
     val geom = kindCol match {
-      case Some(k) if have("x0") =>
-        when(k === "point",
-          concat(lit("<Point><coordinates>"), pt(col("lon"), col("lat")),
-            lit("</coordinates></Point>")))
-          .when(k === "line",
-            concat(lit("<LineString><coordinates>"),
-              pt(xs(0), ys(0)), lit(" "), pt(xs(1), ys(1)), lit(" "),
-              pt(xs(2), ys(2)), lit("</coordinates></LineString>")))
-          .otherwise(
-            concat(lit("<Polygon><outerBoundaryIs><LinearRing><coordinates>"),
-              pt(xs(0), ys(0)), lit(" "), pt(xs(1), ys(1)), lit(" "),
-              pt(xs(2), ys(2)), lit(" "), pt(xs(3), ys(3)), lit(" "),
-              pt(xs(0), ys(0)),
-              lit("</coordinates></LinearRing></outerBoundaryIs></Polygon>")))
+      case Some(k) if have("rings") =>
+        // variable-arity geometry serializes through the executor-side
+        // kernel UDF (same serializer as the driver loop); the XML envelope
+        // around it stays pure-Column
+        kmlGeomUdf(k, col("lon"), col("lat"), col("rings"),
+          if (have("roles")) col("roles") else array().cast("array<int>"))
       case _ => concat(lit("<Point><coordinates>"),
         pt(col("lon"), col("lat")), lit("</coordinates></Point>"))
     }
     concat(lit("<Placemark><name>"), name, lit("</name>"), geom,
       lit("</Placemark>"))
   }
+
+  /** Executor-side KML geometry UDF over the rings model — routes through
+    * [[kmlGeom]] and [[FeatureModel.groupParts]] so the distributed path is
+    * byte-identical to the driver loop. */
+  private val kmlGeomUdf = udf((kind: String, lon: Double, lat: Double,
+      rings: scala.collection.Seq[scala.collection.Seq[Double]],
+      roles: scala.collection.Seq[Int]) =>
+    kmlGeom(FeatureModel.fromRings(kind, lon, lat, rings, roles)))
 
   /** Distributed + resumable KML: placemarks serialize in the PLAN
     * (executor-side, [[kmlPlacemarkCol]]) into committed lineage parts; the

@@ -56,13 +56,14 @@ object ImageTable {
     when(m < 6, lit("point")).when(m < 8, lit("line")).otherwise(lit("polygon"))
   }
 
-  /** Vertex columns x0,y0..x3,y3 (real line/polygon shapes — the reference
-    * routes genuine linestrings/polygons, backend/raw.lua:128-180): hash-based
-    * offset providers feeding the shared GeoCols.vertexCols shape spec. */
-  def vertexCols(imageId: Column, kind: Column, lon: Column, lat: Column): Seq[(String, Column)] =
-    GeoCols.vertexCols(kind, lon, lat,
-      i => unit(xxhash64(imageId, lit(10 + i))) * lit(2.0) - lit(1.0),
-      i => unit(xxhash64(imageId, lit(20 + i))))
+  /** Arbitrary-vertex geometry columns (rings/roles — real multi-part
+    * line/polygon shapes with holes, the reference routes genuine OSM
+    * geometry, backend/raw.lua:128-180): hash-based draw providers feeding
+    * the shared GeoCols.featureGeomCols shape spec. */
+  def geomCols(imageId: Column, kind: Column, lon: Column, lat: Column): Seq[(String, Column)] =
+    GeoCols.featureGeomCols(kind, lon, lat,
+      k => unit(xxhash64(imageId, k)),
+      (base, salt) => pmod(xxhash64(imageId, lit(1000 + salt)), lit(base.toLong)).cast("int"))
 
   def cellCol(imageId: Column): Column =
     GeoCols.cellCol(BucketRes, lonCol(imageId), latCol(imageId))
@@ -85,8 +86,8 @@ object ImageTable {
     if (!have("tags")) df = df.withColumn("tags", tagsCol(col("caption")))
     if (!have("kind")) df = df.withColumn("kind", kindCol(col("image_id")))
     if (!have("cell")) df = df.withColumn("cell", cellCol(col("image_id")))
-    if (!have("x0"))
-      vertexCols(col("image_id"), col("kind"), col("lon"), col("lat"))
+    if (!have("rings"))
+      geomCols(col("image_id"), col("kind"), col("lon"), col("lat"))
         .foreach { case (n, c) => df = df.withColumn(n, c) }
     df
   }

@@ -48,7 +48,7 @@ class CustomExportSpec extends SparkSpec {
     // independent expectation: direct plan over the base table
     val derived = graft.sources.ImageTable.derive(images)
       .filter(PlanBuilder.geometryFilter(geom, col("kind"), col("lon"), col("lat"),
-        col("cell"), (0 to 3).map(i => col(s"x$i")), (0 to 3).map(i => col(s"y$i"))))
+        col("cell"), col("rings")))
     val expBuildings = derived.filter(col("kind") === "polygon" &&
       col("tags")("building").isNotNull).count()
     val expRoads = derived.filter(col("kind").isin("line", "point") &&

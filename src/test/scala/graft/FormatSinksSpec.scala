@@ -16,8 +16,7 @@ class FormatSinksSpec extends SparkSpec {
   private lazy val feats = {
     val images = ImageFixture.generate(spark, 300, 2)
     ImageTable.derive(images)
-      .select(Seq("image_id", "kind", "lon", "lat").map(col) ++
-        (0 to 3).flatMap(i => Seq(col(s"x$i"), col(s"y$i"))): _*)
+      .select(Seq("image_id", "kind", "lon", "lat", "rings", "roles").map(col): _*)
   }
 
   // ---- generic flatbuffer reader ------------------------------------------
@@ -119,6 +118,40 @@ class FormatSinksSpec extends SparkSpec {
       "distributed and driver-streamed fgb must serialize identically")
   }
 
+  /** Independent re-derivation of the (closed-ring) geometry parts from the
+    * storage columns — FGB/EWKB convention: rings closed, storage winding
+    * kept. Returns (gtype, parts = rings per part). */
+  private def expectedGeom(r: org.apache.spark.sql.Row): (Int, Vector[Vector[Vector[(Double, Double)]]]) = {
+    val kind = r.getString(1)
+    val rings = if (!r.isNullAt(4)) r.getSeq[scala.collection.Seq[Double]](4) else Nil
+    val roles = if (r.length > 5 && !r.isNullAt(5)) r.getSeq[Int](5)
+      else Seq.fill(rings.length)(0)
+    def pts(fl: scala.collection.Seq[Double]): Vector[(Double, Double)] =
+      (0 until fl.length / 2).map(i => (fl(2 * i), fl(2 * i + 1))).toVector
+    kind match {
+      case "line" if rings.nonEmpty =>
+        val parts = rings.map(fl => Vector(pts(fl))).toVector
+        (if (parts.length > 1) 5 else 2, parts)
+      case "polygon" if rings.nonEmpty =>
+        val closed = rings.map(fl => { val p = pts(fl); p :+ p.head })
+        val parts = scala.collection.mutable.ArrayBuffer.empty[Vector[Vector[(Double, Double)]]]
+        closed.indices.foreach { k =>
+          if (roles(k) == 1 && parts.nonEmpty) parts(parts.length - 1) = parts.last :+ closed(k)
+          else parts += Vector(closed(k))
+        }
+        (if (parts.length > 1) 6 else 3, parts.toVector)
+      case _ => (1, Vector(Vector(Vector((r.getDouble(2), r.getDouble(3))))))
+    }
+  }
+
+  /** All vertices of a row's geometry (envelope expectation). */
+  private def expectedPts(r: org.apache.spark.sql.Row): Seq[(Double, Double)] = {
+    val rings = if (!r.isNullAt(4)) r.getSeq[scala.collection.Seq[Double]](4) else Nil
+    if (r.getString(1) == "point" || rings.isEmpty)
+      Seq((r.getDouble(2), r.getDouble(3)))
+    else rings.flatMap(fl => (0 until fl.length / 2).map(i => (fl(2 * i), fl(2 * i + 1))))
+  }
+
   private def checkFgb(path: String, rows: Array[org.apache.spark.sql.Row]): Unit = {
     val bb = ByteBuffer.wrap(Files.readAllBytes(Paths.get(path)))
       .order(ByteOrder.LITTLE_ENDIAN)
@@ -135,10 +168,8 @@ class FormatSinksSpec extends SparkSpec {
     val (envBase, envLen) = hdr.vec(1).get
     assert(envLen == 4)
     val env = (0 until 4).map(i => bb.getDouble(envBase + 8 * i))
-    val allX = rows.flatMap(r => Seq(r.getDouble(2)) ++
-      (0 to 3).map(i => r.getDouble(4 + 2 * i)))
-    val allY = rows.flatMap(r => Seq(r.getDouble(3)) ++
-      (0 to 3).map(i => r.getDouble(5 + 2 * i)))
+    val all = rows.flatMap(expectedPts)
+    val allX = all.map(_._1); val allY = all.map(_._2)
     assert(env == Seq(allX.min, allY.min, allX.max, allY.max), "envelope")
     assert(hdr.u16(9, 16) == 0, "no spatial index declared")
     val crs = hdr.table(10).get
@@ -160,29 +191,41 @@ class FormatSinksSpec extends SparkSpec {
       val (f, next) = sizePrefixed(bb, base)
       val geom = f.table(0).get
       val gtype = geom.u8(6, 0)
-      val (xyBase, xyLen) = geom.vec(1).get
-      val xy = (0 until xyLen).map(i => bb.getDouble(xyBase + 8 * i))
       val (pBase, pLen) = f.vec(1).get
       val props = parseProps(bb, pBase, pLen, colTypes)
       val id = props(0).asInstanceOf[String]
       val r = expect(id)
-      val kind = r.getString(1)
-      val wantType = kind match {
-        case "point" => FlatGeobuf.GtPoint
-        case "line" => FlatGeobuf.GtLineString
-        case _ => FlatGeobuf.GtPolygon
-      }
+      val (wantType, wantParts) = expectedGeom(r)
       assert(gtype == wantType, s"feature $id geometry type")
-      kind match {
-        case "point" =>
-          assert(xy == Seq(r.getDouble(2), r.getDouble(3)))
-        case "line" =>
-          assert(xyLen == 6)
-          assert(xy(0) == r.getDouble(4) && xy(1) == r.getDouble(5))
-        case _ =>
-          assert(xyLen == 10, "closed quad ring")
-          assert(xy.take(2) == xy.takeRight(2).toIndexedSeq, "ring closed")
+      // decode geometry: xy+ends for flat types, parts vector of Polygon
+      // sub-tables for MultiPolygon
+      def flatRings(g: Fb): Vector[Vector[(Double, Double)]] = {
+        val (xyBase, xyLen) = g.vec(1).get
+        val xy = (0 until xyLen / 2).map(i =>
+          (bb.getDouble(xyBase + 16 * i), bb.getDouble(xyBase + 16 * i + 8))).toVector
+        g.vec(0) match {
+          case None => Vector(xy)
+          case Some((eBase, eLen)) =>
+            val ends = (0 until eLen).map(i => bb.getInt(eBase + 4 * i))
+            ends.zip(0 +: ends.dropRight(1)).map { case (e, s0) => xy.slice(s0, e) }.toVector
+        }
       }
+      val gotParts: Vector[Vector[Vector[(Double, Double)]]] =
+        if (gtype == FlatGeobuf.GtMultiPolygon) {
+          val (ptsBase, ptsLen) = geom.vec(7).get
+          (0 until ptsLen).map { i =>
+            val off = ptsBase + 4 * i
+            val sub = new Fb(bb, off + bb.getInt(off))
+            assert(sub.u8(6, 0) == FlatGeobuf.GtPolygon, "sub-geometry type")
+            flatRings(sub)
+          }.toVector
+        } else if (gtype == FlatGeobuf.GtMultiLineString)
+          flatRings(geom).map(Vector(_))
+        else Vector(flatRings(geom).flatten match {
+          case v if gtype == FlatGeobuf.GtPolygon => flatRings(geom)
+          case v => Vector(v)
+        })
+      assert(gotParts == wantParts, s"feature $id geometry parts")
       seen += 1
       base = next
     }
@@ -191,22 +234,45 @@ class FormatSinksSpec extends SparkSpec {
 
   // ---- PGDump parser -------------------------------------------------------
 
-  private def decodeEwkb(hexStr: String): (Int, Seq[(Double, Double)]) = {
+  /** Decode EWKB (top-level SRID extension, nested plain WKB) into
+    * (gtype, parts = rings per part). */
+  private def decodeEwkb(hexStr: String): (Int, Vector[Vector[Vector[(Double, Double)]]]) = {
     val bytes = hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    assert(b.get() == 1, "little-endian marker")
-    val typeWord = b.getInt()
-    assert((typeWord & 0x20000000) != 0, "SRID flag set")
-    val gtype = typeWord & 0xff
-    assert(b.getInt() == 4326, "SRID 4326")
-    val pts = gtype match {
-      case 1 => Seq((b.getDouble(), b.getDouble()))
-      case 2 => (0 until b.getInt()).map(_ => (b.getDouble(), b.getDouble()))
-      case 3 =>
-        assert(b.getInt() == 1, "single ring")
-        (0 until b.getInt()).map(_ => (b.getDouble(), b.getDouble()))
+    def readOne(top: Boolean): (Int, Vector[Vector[(Double, Double)]]) = {
+      assert(b.get() == 1, "little-endian marker")
+      val typeWord = b.getInt()
+      if (top) {
+        assert((typeWord & 0x20000000) != 0, "SRID flag set on top-level")
+        assert(b.getInt() == 4326, "SRID 4326")
+      } else assert((typeWord & 0x20000000) == 0, "nested geometry plain WKB")
+      val gtype = typeWord & 0xff
+      def pts(n: Int) = (0 until n).map(_ => (b.getDouble(), b.getDouble())).toVector
+      gtype match {
+        case 1 => (1, Vector(pts(1)))
+        case 2 => (2, Vector(pts(b.getInt())))
+        case 3 => (3, (0 until b.getInt()).map(_ => pts(b.getInt())).toVector)
+      }
     }
-    (gtype, pts)
+    def readTop(): (Int, Vector[Vector[Vector[(Double, Double)]]]) = {
+      val mark = b.position()
+      assert(b.get() == 1)
+      val typeWord = b.getInt()
+      assert((typeWord & 0x20000000) != 0)
+      assert(b.getInt() == 4326)
+      val gtype = typeWord & 0xff
+      gtype match {
+        case 5 => (5, (0 until b.getInt()).map { _ =>
+          val (t, rings) = readOne(top = false); assert(t == 2); rings }.toVector)
+        case 6 => (6, (0 until b.getInt()).map { _ =>
+          val (t, rings) = readOne(top = false); assert(t == 3); rings }.toVector)
+        case _ =>
+          b.position(mark)
+          val (t, rings) = readOne(top = true)
+          (t, Vector(rings))
+      }
+    }
+    readTop()
   }
 
   private def unescCopy(s: String): String =
@@ -235,16 +301,10 @@ class FormatSinksSpec extends SparkSpec {
       assert(fields.length == 2)
       val id = fields(0)
       val r = expect(id)
-      val (gtype, pts) = decodeEwkb(fields(1))
-      r.getString(1) match {
-        case "point" =>
-          assert(gtype == 1 && pts == Seq((r.getDouble(2), r.getDouble(3))))
-        case "line" =>
-          assert(gtype == 2 && pts.length == 3)
-          assert(pts.head == ((r.getDouble(4), r.getDouble(5))))
-        case _ =>
-          assert(gtype == 3 && pts.length == 5 && pts.head == pts.last)
-      }
+      val (gtype, parts) = decodeEwkb(fields(1))
+      val (wantType, wantParts) = expectedGeom(r)
+      assert(gtype == wantType, s"$id EWKB type")
+      assert(parts == wantParts, s"$id EWKB geometry")
     }
   }
 

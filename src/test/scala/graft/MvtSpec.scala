@@ -237,8 +237,7 @@ class MvtSpec extends SparkSpec {
   private lazy val feats = {
     val images = ImageFixture.generate(spark, 400, 2)
     ImageTable.derive(images)
-      .select(Seq("image_id", "kind", "lon", "lat").map(col) ++
-        (0 to 3).flatMap(i => Seq(col(s"x$i"), col(s"y$i"))): _*)
+      .select(Seq("image_id", "kind", "lon", "lat", "rings", "roles").map(col): _*)
   }
 
   test("distributed tilePayloads: every tile decodes and inverts to source coordinates") {
@@ -273,30 +272,42 @@ class MvtSpec extends SparkSpec {
           val wy = (1.0 - math.log(math.tan(latR) + 1.0 / math.cos(latR)) / math.Pi) / 2.0 * n
           (math.round((wx - tx) * l.extent), math.round((wy - ty) * l.extent))
         }
-        def vert(i: Int) = proj(r.getDouble(4 + 2 * i), r.getDouble(5 + 2 * i))
+        val storedRings =
+          if (!r.isNullAt(4)) r.getSeq[scala.collection.Seq[Double]](4) else Nil
+        val storedRoles = if (!r.isNullAt(5)) r.getSeq[Int](5)
+          else Seq.fill(storedRings.length)(0)
+        def projRing(fl: scala.collection.Seq[Double]): IndexedSeq[(Long, Long)] =
+          (0 until fl.length / 2).map(i => proj(fl(2 * i), fl(2 * i + 1)))
         r.getString(1) match {
           case "point" =>
             assert(f.gtype == 1 &&
               rings == Seq(IndexedSeq(proj(r.getDouble(2), r.getDouble(3)))))
           case "line" =>
-            assert(f.gtype == 2 &&
-              rings == Seq((0 to 2).map(vert).toIndexedSeq))
+            // the wire stream applies consecutive-dup removal + degenerate
+            // padding; that encoding is unit-tested on hand geometries above,
+            // so the pipeline assertion re-encodes the independently
+            // projected source rings and compares command streams
+            assert(f.gtype == 2)
+            val want = Mvt.geometryStream(Mvt.Feature(None, 2,
+              storedRings.map(projRing), Nil))
+            assert(f.geom == want, "line command stream from projected source")
           case "polygon" =>
-            assert(f.gtype == 3 && rings.head.length == 4)
-            // same quad (winding may be rewound for the spec)
-            assert(rings.head.toSet == (0 to 3).map(vert).toSet)
-            assert(screenArea2(rings.head) > 0, "exterior CW on screen")
+            assert(f.gtype == 3)
+            val want = Mvt.geometryStream(Mvt.Feature(None, 3,
+              storedRings.map(projRing), Nil,
+              Some(storedRoles.map(_ == 0))))
+            assert(f.geom == want, "polygon command stream from projected source")
+            assert(screenArea2(rings.head) > 0, "first ring exterior CW on screen")
         }
         // and the inverse projection lands within the tile-local lon step
         val (lonBack, _) = toLonLat(z, tx, ty, l.extent,
           rings.head.head._1, rings.head.head._2)
-        val srcLon = r.getString(1) match {
-          case "point" => r.getDouble(2)
-          case _ => // first decoded vertex is one of the source vertices
-            (0 to 3).map(i => r.getDouble(4 + 2 * i))
-              .minBy(v => math.abs(v - lonBack))
+        val srcLons = r.getString(1) match {
+          case "point" => Seq(r.getDouble(2))
+          case _ => storedRings.flatMap(fl =>
+            (0 until fl.length / 2).map(i => fl(2 * i)))
         }
-        assert(math.abs(lonBack - srcLon) < 0.03)
+        assert(srcLons.exists(v => math.abs(lonBack - v) < 0.03))
       }
     }
   }

@@ -15,17 +15,16 @@ class PlanBuilderSpec extends SparkSpec {
   private val N = 1500L
   private lazy val images = ImageFixture.generate(spark, N, 4)
 
-  /** Plain-Scala mirror of the derived columns incl. feature vertices
+  /** Plain-Scala mirror of the derived columns incl. the rings geometry
     * (collected once from Spark — the location derivation is sealed inside
     * ImageTable; semantics on top are recomputed independently). */
-  private lazy val derived: Seq[(String, Double, Double, Map[String, String], String, Array[graft.geo.Pt])] =
+  private lazy val derived: Seq[(String, Double, Double, Map[String, String], String, Seq[scala.collection.Seq[Double]])] =
     ImageTable.derive(images)
-      .select(Seq("image_id", "lon", "lat", "tags", "kind").map(col) ++
-        (0 to 3).flatMap(i => Seq(col(s"x$i"), col(s"y$i"))): _*)
+      .select(Seq("image_id", "lon", "lat", "tags", "kind", "rings").map(col): _*)
       .collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
         r.getMap[String, String](3).toMap, r.getString(4),
-        Array.tabulate(4)(i => graft.geo.Pt(r.getDouble(5 + 2 * i), r.getDouble(6 + 2 * i)))))
+        r.getSeq[scala.collection.Seq[Double]](5)))
       .toSeq
 
   private val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
@@ -36,11 +35,8 @@ class PlanBuilderSpec extends SparkSpec {
   /** Kind-aware kernel intersect — the oracle twin of the plan's exact
     * refine (real non-point semantics, not anchor PIP). */
   private def hitsGeom(kind: String, lon: Double, lat: Double,
-      v: Array[graft.geo.Pt]): Boolean = kind match {
-    case "point" => inGeom(lon, lat)
-    case "line" => geom.polys.exists(p => Geo.lineIntersectsPolygon(v.take(3), p))
-    case _ => geom.polys.exists(p => Geo.polygonIntersectsPolygon(graft.geo.Ring(v), p))
-  }
+      rings: Seq[scala.collection.Seq[Double]]): Boolean =
+    Geo.featureIntersectsRings(geom.polys, kind, lon, lat, rings)
 
   test("snapshot_default: polygon only, all types, default projection") {
     val req = SnapshotRequest(geometry = geom)
@@ -59,9 +55,9 @@ class PlanBuilderSpec extends SparkSpec {
         tags = Some(TagFilter.JoinOr(Map("amenity" -> Seq("shop", "toilet")))),
         attributes = Some(Seq("name")))))
     val df = PlanBuilder.build(images, req)
-    // geometry (anchor + vertex columns) always rides along, builder.py:533-535
-    assert(df.columns.toSeq == Seq("image_id", "osm_type", "name", "lon", "lat") ++
-      (0 to 3).flatMap(i => Seq(s"x$i", s"y$i")))
+    // geometry (anchor + rings columns) always rides along, builder.py:533-535
+    assert(df.columns.toSeq ==
+      Seq("image_id", "osm_type", "name", "lon", "lat", "rings", "roles"))
     val got = df.collect().map(r => (r.getString(0), r.getString(2))).toSet
     val expect = derived.filter { case (_, lon, lat, tags, kind, _) =>
       kind == "point" && inGeom(lon, lat) &&

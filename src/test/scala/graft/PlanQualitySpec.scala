@@ -27,7 +27,7 @@ class PlanQualitySpec extends SparkSpec {
       geometryTypes = GeomType.all)
     images.filter(PlanBuilder.geometryFilter(
       req.geometry, col("kind"), col("lon"), col("lat"), col("cell"),
-      (0 to 3).map(i => col(s"x$i")), (0 to 3).map(i => col(s"y$i"))))
+      col("rings")))
   }
 
   test("cell prefilter is pushed into the parquet scan") {

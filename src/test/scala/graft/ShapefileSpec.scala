@@ -14,8 +14,7 @@ class ShapefileSpec extends SparkSpec {
   private lazy val feats = {
     val images = ImageFixture.generate(spark, 400, 2)
     ImageTable.derive(images)
-      .select(Seq("image_id", "kind", "lon", "lat").map(col) ++
-        (0 to 3).flatMap(i => Seq(col(s"x$i"), col(s"y$i"))): _*)
+      .select(Seq("image_id", "kind", "lon", "lat", "rings", "roles").map(col): _*)
   }
 
   private def readAll(p: String): ByteBuffer = {
@@ -24,9 +23,9 @@ class ShapefileSpec extends SparkSpec {
     b
   }
 
-  /** Parse .shp: (shapeType, declaredLengthWords, bbox, records as flat
-    * coordinate lists). */
-  private def parseShp(p: String): (Int, Int, (Double, Double, Double, Double), Seq[Seq[(Double, Double)]]) = {
+  /** Parse .shp: (shapeType, declaredLengthWords, bbox, records as PART
+    * lists — numParts + per-part offsets per the spec). */
+  private def parseShp(p: String): (Int, Int, (Double, Double, Double, Double), Seq[Seq[Seq[(Double, Double)]]]) = {
     val b = readAll(p)
     b.order(ByteOrder.BIG_ENDIAN)
     assert(b.getInt(0) == 9994, "file code")
@@ -35,22 +34,29 @@ class ShapefileSpec extends SparkSpec {
     val shapeType = b.getInt(32)
     val bbox = (b.getDouble(36), b.getDouble(44), b.getDouble(52), b.getDouble(60))
     var pos = 100
-    val recs = scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Double)]]
+    val recs = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[(Double, Double)]]]
     while (pos < b.capacity()) {
       b.order(ByteOrder.BIG_ENDIAN)
       val contentWords = b.getInt(pos + 4)
       b.order(ByteOrder.LITTLE_ENDIAN)
       val st = b.getInt(pos + 8)
       assert(st == shapeType, "record type matches header")
-      val pts =
-        if (st == 1) Seq((b.getDouble(pos + 12), b.getDouble(pos + 20)))
+      val parts =
+        if (st == 1) Seq(Seq((b.getDouble(pos + 12), b.getDouble(pos + 20))))
         else {
+          val numParts = b.getInt(pos + 8 + 4 + 32)
           val numPoints = b.getInt(pos + 8 + 4 + 32 + 4)
-          val ptsOff = pos + 8 + 4 + 32 + 4 + 4 + 4 // 1 part
-          (0 until numPoints).map(i =>
+          val partsOff = pos + 8 + 4 + 32 + 4 + 4
+          val offsets = (0 until numParts).map(i => b.getInt(partsOff + 4 * i))
+          val ptsOff = partsOff + 4 * numParts
+          val pts = (0 until numPoints).map(i =>
             (b.getDouble(ptsOff + 16 * i), b.getDouble(ptsOff + 16 * i + 8)))
+          (0 until numParts).map { k =>
+            val end = if (k + 1 < numParts) offsets(k + 1) else numPoints
+            pts.slice(offsets(k), end)
+          }
         }
-      recs += pts
+      recs += parts
       pos += 8 + contentWords * 2
     }
     (shapeType, lenWords, bbox, recs.toSeq)
@@ -81,30 +87,54 @@ class ShapefileSpec extends SparkSpec {
       assert(prj.contains("UNIT[\"Degree\",0.0174532925199433]"))
       assert(prj.count(_ == '[') == prj.count(_ == ']'))
       // coordinate content: every written point appears within the bbox
-      val flat = recs.flatten
+      val flat = recs.flatten.flatten
       assert(flat.forall { case (x, y) =>
         x >= bbox._1 - 1e-9 && x <= bbox._3 + 1e-9 &&
           y >= bbox._2 - 1e-9 && y <= bbox._4 + 1e-9 })
-      // per-kind geometry arity: point 1, line 3, polygon 5 (closed ring)
-      val arity = kind match { case "point" => 1; case "line" => 3; case _ => 5 }
-      assert(recs.forall(_.length == arity))
+      // exact geometry: records (in stream order) re-derived independently
+      // from the storage model
+      val expected = expectRows.map(expectedParts)
+      assert(recs.map(_.map(_.toVector).toVector).toVector ==
+        expected.map(_.map(_.toVector).toVector).toVector,
+        s"$kind parts must match the storage model re-derivation")
       if (kind == "polygon") {
-        // closed + clockwise (spec requirement for outer rings)
-        assert(recs.forall(r => r.head == r.last))
-        assert(recs.forall { r =>
+        // every ring closed; FIRST ring of each record clockwise (spec
+        // requirement for outer rings); holes counter-clockwise
+        assert(recs.forall(_.forall(r => r.head == r.last)))
+        def area2(r: Seq[(Double, Double)]): Double = {
           val s = r.dropRight(1)
-          val area2 = s.indices.map { i =>
+          s.indices.map { i =>
             val (x1, y1) = s(i); val (x2, y2) = s((i + 1) % s.length)
             (x2 - x1) * (y2 + y1)
           }.sum
-          area2 > 0 // cw in screen convention: positive sum of (x2-x1)(y2+y1)
-        })
+        }
+        assert(recs.forall(r => area2(r.head) > 0), "outer rings cw")
+        assert(recs.exists(_.length > 1), "multi-ring records must occur")
       }
+      if (kind == "line") assert(recs.exists(_.length > 1),
+        "multi-part polylines must occur")
     }
     // exact coordinate spot-check for points
     val (_, _, _, ptRecs) = parseShp(s"$dir/point.shp")
     val expectPts = byKind("point").map(r => (r.getDouble(2), r.getDouble(3))).toSet
-    assert(ptRecs.flatten.toSet == expectPts)
+    assert(ptRecs.flatten.flatten.toSet == expectPts)
+  }
+
+  /** Independent re-derivation of the shapefile part list from the storage
+    * columns (kind, lon, lat, rings, roles): polygons = every ring closed
+    * and REVERSED (model winds shells CCW / holes CW, the spec wants the
+    * opposite); lines = open parts; points = the anchor. */
+  private def expectedParts(r: org.apache.spark.sql.Row): Seq[Seq[(Double, Double)]] = {
+    val kind = r.getString(1)
+    val rings = if (!r.isNullAt(4)) r.getSeq[scala.collection.Seq[Double]](4) else Nil
+    def pts(fl: scala.collection.Seq[Double]): Vector[(Double, Double)] =
+      (0 until fl.length / 2).map(i => (fl(2 * i), fl(2 * i + 1))).toVector
+    kind match {
+      case "polygon" if rings.nonEmpty =>
+        rings.map { fl => val p = pts(fl); (p :+ p.head).reverse }.toVector
+      case "line" if rings.nonEmpty => rings.map(pts).toVector
+      case _ => Vector(Vector((r.getDouble(2), r.getDouble(3))))
+    }
   }
 
   test("distributed shapefile is byte-identical to the driver-streamed writer") {
@@ -138,7 +168,8 @@ class ShapefileSpec extends SparkSpec {
     for (kind <- Seq("point", "line", "polygon")) {
       val (_, _, _, r1) = parseShp(s"$d1/$kind.shp")
       val (_, _, _, r2) = parseShp(s"$d2/$kind.shp")
-      assert(r1.map(_.toSet).toSet == r2.map(_.toSet).toSet, s"$kind records differ")
+      assert(r1.map(_.map(_.toVector).toVector).toSet ==
+        r2.map(_.map(_.toVector).toVector).toSet, s"$kind records differ")
     }
   }
 
@@ -170,9 +201,19 @@ class ShapefileSpec extends SparkSpec {
     val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
       .newDocumentBuilder().parse(new java.io.File(s"$dir/out.kml"))
     assert(doc.getElementsByTagName("Placemark").getLength == n)
-    assert(doc.getElementsByTagName("Point").getLength +
-      doc.getElementsByTagName("LineString").getLength +
-      doc.getElementsByTagName("Polygon").getLength == n)
+    // each placemark has exactly ONE top-level geometry element (Point /
+    // LineString / Polygon / MultiGeometry); MultiGeometry children push the
+    // raw tag totals above n, so count direct Placemark children
+    val pms = doc.getElementsByTagName("Placemark")
+    val geomTags = Set("Point", "LineString", "Polygon", "MultiGeometry")
+    (0 until pms.getLength).foreach { i =>
+      val kids = pms.item(i).getChildNodes
+      val geoms = (0 until kids.getLength)
+        .count(k => geomTags(kids.item(k).getNodeName))
+      assert(geoms == 1, "one top-level geometry per placemark")
+    }
+    assert(doc.getElementsByTagName("MultiGeometry").getLength > 0,
+      "multi-part shapes must occur")
   }
 
   test("distributed kml (placemarks serialized in the plan) matches the driver writer") {
@@ -193,7 +234,7 @@ class ShapefileSpec extends SparkSpec {
       (0 until pms.getLength).map { i =>
         val e = pms.item(i).asInstanceOf[org.w3c.dom.Element]
         val name = e.getElementsByTagName("name").item(0).getTextContent
-        val geomKind = Seq("Point", "LineString", "Polygon")
+        val geomKind = Seq("MultiGeometry", "Point", "LineString", "Polygon")
           .find(k => e.getElementsByTagName(k).getLength > 0).get
         (name, geomKind)
       }.toSet

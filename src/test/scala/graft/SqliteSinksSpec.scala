@@ -136,8 +136,7 @@ class SqliteSinksSpec extends SparkSpec {
   private lazy val feats = {
     val images = ImageFixture.generate(spark, 400, 2)
     ImageTable.derive(images)
-      .select(Seq("image_id", "kind", "lon", "lat").map(col) ++
-        (0 to 3).flatMap(i => Seq(col(s"x$i"), col(s"y$i"))): _*)
+      .select(Seq("image_id", "kind", "lon", "lat", "rings", "roles").map(col): _*)
   }
 
   test("gpkg container round-trips through an independent sqlite reader") {
@@ -177,17 +176,26 @@ class SqliteSinksSpec extends SparkSpec {
       val wkbOff = 8 + 32 // header + envelope indicator 1
       assert(blob(wkbOff) == 1, "wkb little-endian")
       val wkbType = gb.getInt(wkbOff + 1)
+      val rings = if (!r.isNullAt(4)) r.getSeq[scala.collection.Seq[Double]](4) else Nil
+      val roles = if (!r.isNullAt(5)) r.getSeq[Int](5) else Nil
+      val nParts = roles.count(_ == 0)
       r.getString(1) match {
         case "point" =>
           assert(wkbType == 1)
           assert(gb.getDouble(wkbOff + 5) == r.getDouble(2))
           assert(gb.getDouble(wkbOff + 13) == r.getDouble(3))
         case "line" =>
-          assert(wkbType == 2 && gb.getInt(wkbOff + 5) == 3)
-          assert(gb.getDouble(wkbOff + 9) == r.getDouble(4))
+          if (nParts > 1) assert(wkbType == 5 && gb.getInt(wkbOff + 5) == nParts)
+          else {
+            assert(wkbType == 2 && gb.getInt(wkbOff + 5) == rings.head.length / 2)
+            assert(gb.getDouble(wkbOff + 9) == rings.head.head)
+          }
         case _ =>
-          assert(wkbType == 3 && gb.getInt(wkbOff + 5) == 1)
-          assert(gb.getInt(wkbOff + 9) == 5, "closed quad ring")
+          if (nParts > 1) assert(wkbType == 6 && gb.getInt(wkbOff + 5) == nParts)
+          else {
+            assert(wkbType == 3 && gb.getInt(wkbOff + 5) == rings.length)
+            assert(gb.getInt(wkbOff + 9) == rings.head.length / 2 + 1, "closed ring")
+          }
       }
     }
   }
