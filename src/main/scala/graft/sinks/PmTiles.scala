@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * tile sink output (`tippecanoe ... -o out.pmtiles`, src/app.py:690-698).
   * Format per the public PMTiles v3 specification (protomaps/PMTiles):
   * 127-byte header, gzip varint-delta root directory keyed by Hilbert tile
-  * ids, gzip JSON metadata, concatenated tile payloads with run-length /
-  * duplicate coalescing.
+  * ids (spilling to leaf directories past 16k entries), gzip JSON metadata,
+  * concatenated tile payloads with run-length entries AND duplicate
+  * coalescing (identical payloads stored once, content-addressed within a
+  * bounded window — tile_contents < addressed_tiles, as tippecanoe writes
+  * planet archives).
   *
   * Tile payloads here are gzip GeoJSON FeatureCollections (tile_type 0x00 =
   * unspecified; the spec allows non-MVT payloads) — the engine's tile
@@ -90,17 +93,17 @@ object PmTiles {
   /** 127-byte v3 header. `tileType`: 1 = MVT, 0 = unspecified payloads. */
   private def header(rootOff: Long, rootLen: Long, metaOff: Long, metaLen: Long,
       leafOff: Long, leafLen: Long,
-      dataOff: Long, dataLen: Long, nTiles: Long, nEntries: Long,
-      minZ: Int, maxZ: Int, tileType: Byte): Array[Byte] = {
+      dataOff: Long, dataLen: Long, nAddressed: Long, nEntries: Long,
+      nContents: Long, minZ: Int, maxZ: Int, tileType: Byte): Array[Byte] = {
     val b = ByteBuffer.allocate(127).order(ByteOrder.LITTLE_ENDIAN)
     b.put("PMTiles".getBytes(StandardCharsets.US_ASCII)).put(3.toByte)
     b.putLong(rootOff).putLong(rootLen)
     b.putLong(metaOff).putLong(metaLen)
     b.putLong(leafOff).putLong(leafLen)
     b.putLong(dataOff).putLong(dataLen)
-    b.putLong(nTiles) // addressed tiles
-    b.putLong(nEntries) // tile entries
-    b.putLong(nTiles) // tile contents (no dedupe)
+    b.putLong(nAddressed) // addressed tiles
+    b.putLong(nEntries) // tile entries (runLength >= 1)
+    b.putLong(nContents) // tile contents = distinct payload blobs
     b.put(1.toByte) // clustered: tile ids written ascending
     b.put(2.toByte).put(2.toByte) // internal compression gzip, tile compression gzip
     b.put(tileType)
@@ -170,6 +173,13 @@ object PmTiles {
     }
   }
 
+  /** Distinct-payload window for duplicate coalescing: SHA-256 → (offset,
+    * length) of the blob already in the data section. Bounded (content-
+    * addressed entries are ~56 B each) so driver memory stays O(window) at
+    * planet scale — beyond the window a repeated payload is stored again,
+    * never corrupted. */
+  val DedupWindow: Int = 1 << 19
+
   private def writePayloadsTo(perTile: DataFrame, out: java.nio.file.Path,
       dataTmp: java.nio.file.Path, leafTmp: java.nio.file.Path,
       tileType: Byte, leafSize: Int): (Long, Long) = {
@@ -178,9 +188,21 @@ object PmTiles {
     val it = perTile.toLocalIterator()
     val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
     val rootEntries = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    // duplicate coalescing: identical payloads share one data blob (the
+    // spec's tile_contents < addressed_tiles case; what keeps ocean/empty
+    // tiles cheap in planet archives — tippecanoe dedupes the same way)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    val seen = new java.util.LinkedHashMap[scala.collection.immutable.ArraySeq[Byte], (Long, Int)](
+      1024, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[scala.collection.immutable.ArraySeq[Byte], (Long, Int)]): Boolean =
+        size() > DedupWindow
+    }
     var leafMode = false
     var leafLen = 0L
-    var nTiles = 0L
+    var nAddressed = 0L
+    var nEntries = 0L
+    var nContents = 0L
     var dataLen = 0L
     var minZ = 127; var maxZ = 0
     def flushLeaf(): Unit = if (entries.nonEmpty) {
@@ -194,11 +216,32 @@ object PmTiles {
     try {
       while (it.hasNext) {
         val r = it.next()
+        val tid = r.getLong(0)
         val payload = r.getAs[Array[Byte]](2)
-        dataOut.write(payload)
-        entries += Entry(r.getLong(0), dataLen, payload.length)
-        nTiles += 1
-        dataLen += payload.length
+        val key = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          sha.digest(payload))
+        val (off, len) = Option(seen.get(key)) match {
+          case Some(prior) => prior // coalesce: no new data bytes
+          case None =>
+            dataOut.write(payload)
+            val blob = (dataLen, payload.length)
+            dataLen += payload.length
+            nContents += 1
+            seen.put(key, blob)
+            blob
+        }
+        // run-length: consecutive tile ids sharing one blob extend the
+        // previous entry instead of adding a new one
+        if (entries.nonEmpty && {
+          val p = entries.last
+          p.tileId + p.runLength == tid && p.offset == off && p.length == len
+        }) entries(entries.length - 1) =
+          entries.last.copy(runLength = entries.last.runLength + 1)
+        else {
+          entries += Entry(tid, off, len)
+          nEntries += 1
+        }
+        nAddressed += 1
         val z = r.getInt(1)
         if (z < minZ) minZ = z; if (z > maxZ) maxZ = z
         if (entries.size >= leafSize) { leafMode = true; flushLeaf() }
@@ -217,8 +260,8 @@ object PmTiles {
     val dataOff = leafOff + (if (leafMode) leafLen else 0L)
     val hdr = header(rootOff, root.length, metaOff, meta.length,
       if (leafMode) leafOff else 0L, if (leafMode) leafLen else 0L,
-      dataOff, dataLen, nTiles, nTiles,
-      if (nTiles == 0) 0 else minZ, if (nTiles == 0) 0 else maxZ,
+      dataOff, dataLen, nAddressed, nEntries, nContents,
+      if (nAddressed == 0) 0 else minZ, if (nAddressed == 0) 0 else maxZ,
       tileType)
     val os = Files.newOutputStream(out)
     try {
@@ -226,6 +269,6 @@ object PmTiles {
       if (leafMode) Files.copy(leafTmp, os)
       Files.copy(dataTmp, os)
     } finally os.close()
-    (nTiles, dataOff + dataLen)
+    (nAddressed, dataOff + dataLen)
   }
 }

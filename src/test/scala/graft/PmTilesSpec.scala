@@ -153,4 +153,46 @@ class PmTilesSpec extends SparkSpec {
     }
     assert(seen == expected, "every tile resolves through its leaf directory")
   }
+
+  test("duplicate payloads coalesce and consecutive runs collapse to run-length entries") {
+    import spark.implicits._
+    // z3 tiles 0..7 along the hilbert diagonal carry IDENTICAL payloads in
+    // three consecutive-id groups plus one distinct tile, and a far tile
+    // repeats the first payload (dedup without adjacency)
+    val same = "ocean".getBytes("UTF-8")
+    val other = "land".getBytes("UTF-8")
+    def xy(tid: Long): (Long, Long) = // invert via brute force over z3
+      (for (x <- 0L until 8L; y <- 0L until 8L
+        if PmTiles.tileId(3, x, y) == tid) yield (x, y)).head
+    // consecutive ids 21..24 (runs), 25 distinct, 40 duplicate-of-21
+    val rows = (Seq(21L, 22L, 23L, 24L).map(t => (t, same)) ++
+      Seq((25L, other), (40L, same))).map { case (t, p) =>
+      val (x, y) = xy(t); (3, x, y, p)
+    }
+    val perTile = rows.toDF("z", "tx", "ty", "payload")
+    val dir = Files.createTempDirectory("pmtdedup").toString
+    val path = s"$dir/d.pmtiles"
+    val (n, total) = PmTiles.writePayloads(perTile, path, tileType = 0)
+    assert(n == 6, "addressed tiles")
+    val bytes = Files.readAllBytes(Paths.get(path))
+    assert(bytes.length.toLong == total)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val rootOff = bb.getLong(8); val rootLen = bb.getLong(16)
+    val dataOff = bb.getLong(56); val dataLen = bb.getLong(64)
+    assert(bb.getLong(72) == 6L, "addressed tiles header count")
+    assert(bb.getLong(80) == 3L, "tile entries: run + distinct + dup")
+    assert(bb.getLong(88) == 2L, "tile contents: two distinct blobs")
+    assert(dataLen == (same.length + other.length).toLong,
+      "data section stores each distinct payload exactly once")
+    val (ids, lens, offs, runs) = decodeDirRuns(gunzip(
+      java.util.Arrays.copyOfRange(bytes, rootOff.toInt, (rootOff + rootLen).toInt)))
+    assert(ids == Seq(21L, 25L, 40L))
+    assert(runs == Seq(4L, 1L, 1L), "consecutive identical tiles collapse")
+    // every entry resolves to its payload; the dup points BACK at blob 0
+    def payloadAt(i: Int) =
+      new String(bytes, (dataOff + offs(i)).toInt, lens(i), "UTF-8")
+    assert(payloadAt(0) == "ocean" && payloadAt(1) == "land" &&
+      payloadAt(2) == "ocean")
+    assert(offs(2) == offs(0), "duplicate payload shares the first blob")
+  }
 }
