@@ -539,31 +539,21 @@ object GeoCols {
   val geoJsonGeomUdf = udf((kind: String, lon: Double, lat: Double,
       rings: scala.collection.Seq[scala.collection.Seq[Double]],
       roles: scala.collection.Seq[Int]) => {
-    def pt(x: Double, y: Double) = s"[$x,$y]"
-    def ringStr(r: scala.collection.Seq[Double], close: Boolean): String = {
-      val pts = (0 until r.length / 2).map(i => pt(r(2 * i), r(2 * i + 1)))
-      val all = if (close) pts :+ pts.head else pts
-      all.mkString("[", ",", "]")
-    }
-    kind match {
-      case "line" if rings.nonEmpty =>
-        if (rings.length == 1)
-          s"""{"type":"LineString","coordinates":${ringStr(rings.head, close = false)}}"""
-        else
-          s"""{"type":"MultiLineString","coordinates":${rings.map(ringStr(_, close = false)).mkString("[", ",", "]")}}"""
-      case "polygon" if rings.nonEmpty =>
-        val parts = scala.collection.mutable.ArrayBuffer
-          .empty[scala.collection.mutable.ArrayBuffer[String]]
-        rings.indices.foreach { k =>
-          val s = ringStr(rings(k), close = true)
-          if (k < roles.length && roles(k) == 1 && parts.nonEmpty) parts.last += s
-          else parts += scala.collection.mutable.ArrayBuffer(s)
-        }
-        if (parts.length == 1)
-          s"""{"type":"Polygon","coordinates":${parts.head.mkString("[", ",", "]")}}"""
-        else
-          s"""{"type":"MultiPolygon","coordinates":${parts.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")}}"""
-      case _ => s"""{"type":"Point","coordinates":${pt(lon, lat)}}"""
+    // one routing authority: FeatureModel.fromRings groups rings into typed
+    // closed-ring parts (the kml UDF takes the same route) — no third copy
+    // of the roles->parts convention to drift
+    val g = graft.sinks.FeatureModel.fromRings(kind, lon, lat, rings, roles)
+    def pt(p: (Double, Double)) = s"[${p._1},${p._2}]"
+    def ringStr(r: Seq[(Double, Double)]): String = r.map(pt).mkString("[", ",", "]")
+    g.gtype match {
+      case 1 => s"""{"type":"Point","coordinates":${pt(g.parts.head.head.head)}}"""
+      case 2 => s"""{"type":"LineString","coordinates":${ringStr(g.parts.head.head)}}"""
+      case 5 =>
+        s"""{"type":"MultiLineString","coordinates":${g.parts.map(p => ringStr(p.head)).mkString("[", ",", "]")}}"""
+      case 3 =>
+        s"""{"type":"Polygon","coordinates":${g.parts.head.map(ringStr).mkString("[", ",", "]")}}"""
+      case _ =>
+        s"""{"type":"MultiPolygon","coordinates":${g.parts.map(_.map(ringStr).mkString("[", ",", "]")).mkString("[", ",", "]")}}"""
     }
   })
 

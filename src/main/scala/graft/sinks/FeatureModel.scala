@@ -72,6 +72,17 @@ object FeatureModel {
   /** Build a [[Geom]] straight from the storage model (kind + anchor +
     * rings/roles) — the one place the kind → geometry-type routing lives. */
   def fromRings(kind: String, lon: Double, lat: Double,
+      rings0: scala.collection.Seq[scala.collection.Seq[Double]],
+      roles0: scala.collection.Seq[Int]): Geom = {
+    // empty rings degrade (dropped, point fallback when nothing remains)
+    // instead of poisoning an export task with .head/.min on empty
+    val keep = rings0.indices.filter(k => rings0(k).nonEmpty)
+    val rings = keep.map(rings0)
+    val roles = keep.map(k => if (k < roles0.length) roles0(k) else 0)
+    fromCleanRings(kind, lon, lat, rings, roles)
+  }
+
+  private def fromCleanRings(kind: String, lon: Double, lat: Double,
       rings: scala.collection.Seq[scala.collection.Seq[Double]],
       roles: scala.collection.Seq[Int]): Geom = kind match {
     case "line" if rings.nonEmpty =>

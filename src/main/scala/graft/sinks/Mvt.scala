@@ -306,9 +306,13 @@ object Mvt {
         def localRing(fl: scala.collection.Seq[Double]): IndexedSeq[(Long, Long)] =
           (0 until fl.length / 2).map(i => local(fl(2 * i), fl(2 * i + 1)))
         val storedRings =
-          if (g.length > 3 && !g.isNullAt(3)) g.getSeq[scala.collection.Seq[Double]](3) else Nil
+          (if (g.length > 3 && !g.isNullAt(3)) g.getSeq[scala.collection.Seq[Double]](3)
+           else Nil).filter(_.nonEmpty) // empty rings degrade, never crash
+        val storedRoles0 =
+          if (g.length > 4 && !g.isNullAt(4)) g.getSeq[Int](4) else Nil
+        // missing/short roles mean all-outer, matching FeatureModel.fromRings
         val storedRoles =
-          if (g.length > 4 && !g.isNullAt(4)) g.getSeq[Int](4)
+          if (storedRoles0.length == storedRings.length) storedRoles0
           else Seq.fill(storedRings.length)(0)
         val (gtype, rings, exterior) = kind match {
           case "line" if storedRings.nonEmpty =>
@@ -318,8 +322,11 @@ object Mvt {
               Some(storedRoles.map(_ == 0)))
           case _ => (1, Seq(IndexedSeq(local(lon, lat))), None)
         }
-        val attrs = attrCols.indices.map { i =>
-          attrCols(i) -> (if (a.isNullAt(i)) "" else a.get(i))
+        // null attributes are OMITTED (absent tag), never encoded as ""
+        // — the typed vector_layers inventory promises e.g. Number fields,
+        // and a string "" value would contradict it
+        val attrs = attrCols.indices.flatMap { i =>
+          if (a.isNullAt(i)) None else Some(attrCols(i) -> a.get(i))
         }
         val id = if (idIdx >= 0 && !a.isNullAt(idIdx))
           a.get(idIdx) match {

@@ -193,7 +193,7 @@ object PmTiles {
     // tiles cheap in planet archives — tippecanoe dedupes the same way)
     val sha = java.security.MessageDigest.getInstance("SHA-256")
     val seen = new java.util.LinkedHashMap[scala.collection.immutable.ArraySeq[Byte], (Long, Int)](
-      1024, 0.75f, false) {
+      1024, 0.75f, true) { // access-order = LRU: hot blobs (ocean tiles) stay pinned
       override def removeEldestEntry(
           e: java.util.Map.Entry[scala.collection.immutable.ArraySeq[Byte], (Long, Int)]): Boolean =
         size() > DedupWindow

@@ -227,7 +227,7 @@ object Shapefile {
     recNo
   }
 
-  /** Export a feature DataFrame (kind, lon, lat, x0..y3, + attribute
+  /** Export a feature DataFrame (kind, lon, lat, rings, roles, + attribute
     * columns) as per-kind shapefile triples under `dir`. Attribute columns =
     * everything except the geometry columns, stringified. `prefix` gives the
     * reference's GIS-convention names (`{name}_point.shp` etc.,

@@ -264,6 +264,33 @@ class SqliteSinksSpec extends SparkSpec {
     assert(got.head._2 == Seq("v1", 7L))
   }
 
+  test("catalog interior levels rebalance: no zero-cell root for any table count") {
+    // sweep table counts at tiny pages so the sqlite_master b-tree crosses
+    // every grouping boundary — including the single-interior-group window
+    // (fanout1 < leafPages <= fanout) that would otherwise leave page 1 a
+    // zero-cell interior root
+    Seq(120, 160, 200, 240, 300).foreach { nTables =>
+      val path = Files.createTempDirectory("sqcat").resolve(s"c$nTables.db").toString
+      val db = new Sqlite(path, pageSize = 512)
+      (1 to nTables).foreach { t =>
+        db.writeTable(s"tab$t",
+          s"CREATE TABLE tab$t(a TEXT, b INTEGER, c TEXT)",
+          Iterator((1L, Seq[Any](s"x$t", t.toLong, s"y$t"))))
+      }
+      db.finish()
+      val rd = new Db(path)
+      (0 until rd.nPages).foreach { p =>
+        val base = p * rd.pageSize + (if (p == 0) 100 else 0)
+        if ((rd.bytes(base) & 0xff) == 0x05)
+          assert((rd.bb.getShort(base + 3) & 0xffff) >= 1,
+            s"zero-cell interior page ${p + 1} at nTables=$nTables")
+      }
+      assert(rd.catalog.size == nTables, s"catalog readable at $nTables")
+      assert(rd.readTable(rd.catalog(s"tab$nTables")._1).head._2 ==
+        Seq(s"x$nTables", nTables.toLong, s"y$nTables"))
+    }
+  }
+
   test("distributed gpkg is byte-identical to the driver-streamed writer") {
     val dir = Files.createTempDirectory("gpkgd")
     val p1 = dir.resolve("driver.gpkg").toString
