@@ -186,6 +186,20 @@ object SparkEntry {
         round(GeoCols.areaRingsUdf(col("rings")), 6).as("area_deg2"))
   }
 
+  /** The geometrytype(geom)='MULTILINESTRING' branch (builder.py:685):
+    * multi-part polyline features intersecting the request polygon, with
+    * part counts and planar length (the ST_Length analogue). */
+  private def geoMultilineExtract(s: SparkSession, dir: String): DataFrame = {
+    val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
+    GeoCols.derivedFeatures(s, dir)
+      .filter(col("kind") === "line")
+      .filter(size(col("rings")) > 1)
+      .filter(PlanBuilder.geometryFilter(geom, col("kind"), col("lon"),
+        col("lat"), col("cell"), col("rings")))
+      .select(col("image_id"), size(col("rings")).as("n_parts"),
+        round(GeoCols.lengthRingsUdf(col("rings")), 6).as("length_deg"))
+  }
+
   /** F16 freeform where-DSL through the full plan path (models.py:408-412,
     * app.py:1298-1315): parsed by WhereParser, compiled to Columns — never
     * raw expr() on untrusted text. */
@@ -425,6 +439,7 @@ object SparkEntry {
     "geo_area" -> ((s, d) => geoArea(s, d)),
     "geo_ring_stats" -> ((s, d) => geoRingStats(s, d)),
     "geo_multipoly_extract" -> ((s, d) => geoMultipolyExtract(s, d)),
+    "geo_multiline_extract" -> ((s, d) => geoMultilineExtract(s, d)),
     "geo_centroid" -> ((s, d) => geoCentroid(s, d)),
     "export_category" -> ((s, d) => exportCategory(s, d)),
     "f16_where_dsl" -> ((s, d) => f16WhereDsl(s, d)),
@@ -615,6 +630,16 @@ object SparkEntry {
          |  round(${GeoCols.areaRingsSql("rings")}, 6) AS area_deg2
          |FROM f
          |WHERE kind = 'polygon' AND len(list_filter(roles, x -> x = 0)) > 1
+         |  AND ${GeoCols.featureIntersectsRingsSql(geom, "kind", "lon", "lat", "rings")}""".stripMargin
+    },
+    "geo_multiline_extract" -> {
+      val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
+      s"""WITH pts AS ($P),
+         |f AS (${GeoCols.featuresSql})
+         |SELECT pid AS image_id, len(rings) AS n_parts,
+         |  round(${GeoCols.lengthRingsSql("rings")}, 6) AS length_deg
+         |FROM f
+         |WHERE kind = 'line' AND len(rings) > 1
          |  AND ${GeoCols.featureIntersectsRingsSql(geom, "kind", "lon", "lat", "rings")}""".stripMargin
     },
     "geo_centroid" -> {

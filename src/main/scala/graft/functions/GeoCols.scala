@@ -497,6 +497,17 @@ object GeoCols {
       s"(CASE WHEN $kindE = 'point' THEN $latE WHEN $kindE = 'line' THEN $lineY ELSE $polyY END)")
   }
 
+  /** Planar length (deg) of a multi-part polyline — twin of
+    * Geo.lengthRings (the ST_Length analogue; same fold order as the
+    * centroid's segment sums). */
+  def lengthRingsSql(ringsE: String): String = {
+    val dx = s"(${xAt("r", "(i + 1)")} - ${xAt("r", "i")})"
+    val dy = s"(${yAt("r", "(i + 1)")} - ${yAt("r", "i")})"
+    val lE = s"SQRT($dx * $dx + $dy * $dy)"
+    foldSumSql(
+      s"flatten(list_transform($ringsE, r -> list_transform(range(0, ${nOf("r")} - 1), i -> ($lE))))")
+  }
+
   /** Signed planar area (deg^2) over the rings model — twin of
     * Geo.areaRings (CCW shells positive, CW holes negative). */
   def areaRingsSql(ringsE: String): String = {
@@ -531,6 +542,10 @@ object GeoCols {
   /** Signed planar area (deg^2) — twin of [[areaRingsSql]]. */
   val areaRingsUdf = udf((rings: scala.collection.Seq[scala.collection.Seq[Double]]) =>
     graft.geo.Geo.areaRings(rings))
+
+  /** Planar polyline length (deg) — twin of [[lengthRingsSql]]. */
+  val lengthRingsUdf = udf((rings: scala.collection.Seq[scala.collection.Seq[Double]]) =>
+    graft.geo.Geo.lengthRings(rings))
 
   /** GeoJSON geometry object per kind over the rings model — Point /
     * LineString / MultiLineString / Polygon / MultiPolygon (the row-level

@@ -326,6 +326,23 @@ object Geo {
     s / 2.0
   }
 
+  /** Planar length (deg) of a multi-part polyline: segment lengths summed
+    * in one flat running fold across all parts in order (bit-parity with
+    * the SQL twin's single left fold) — the ST_Length analogue. */
+  def lengthRings(rings: scala.collection.Seq[scala.collection.Seq[Double]]): Double = {
+    var sl = 0.0
+    rings.foreach { r =>
+      val n = r.length / 2
+      var i = 0
+      while (i < n - 1) {
+        sl += math.sqrt((r(2 * i + 2) - r(2 * i)) * (r(2 * i + 2) - r(2 * i)) +
+          (r(2 * i + 3) - r(2 * i + 1)) * (r(2 * i + 3) - r(2 * i + 1)))
+        i += 1
+      }
+    }
+    sl
+  }
+
   /** Kind-aware centroid over the rings model (the ST_Centroid rules):
     * point → anchor; line → length-weighted over all parts' segments
     * (zero length → first vertex of the first part); polygon → shoelace-
