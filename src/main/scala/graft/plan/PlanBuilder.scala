@@ -104,11 +104,14 @@ object PlanBuilder {
     val fullCells = covers.flatMap(_._1).toSet
     val allCells = covers.flatMap(c => c._1 ++ c._2).toSet
     val expanded = allCells ++ allCells.flatMap(c => Cell.ring(c, 1))
-    // exact refine = compact kernel UDF (each column evaluated once; the
-    // equivalent Column tree over 18 edges × n vertices falls out of
-    // codegen — BENCH.md finding #2). The coarse prefilter stays a pushable
-    // Column so scan pruning is untouched.
-    val exact = GeoCols.featureIntersectsRingsUdf(geom)(kind, lon, lat, rings)
+    // exact refine = native Catalyst expression over the JIT-compiled
+    // kernel (zero-copy ArrayData views, one generated call inside
+    // whole-stage codegen — neither the UDF boundary's per-row rings
+    // conversion nor a janino-sized Column tree, BENCH.md finding #2).
+    // The coarse prefilter stays a pushable Column so scan pruning is
+    // untouched.
+    val exact = graft.functions.FeatureIntersectsRingsExpr.column(
+      geom, kind, lon, lat, rings)
     cellIn(cell, expanded) && (cellIn(cell, fullCells) || exact)
   }
 
