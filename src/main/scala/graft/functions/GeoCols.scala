@@ -466,15 +466,22 @@ object GeoCols {
 
   /** (clon, clat) centroid SQL over the rings model — twin of
     * Geo.centroidRings (same fold order, same degenerate fallbacks). */
+  /** Per-segment term list over all parts in order (shared by the centroid
+    * and length twins — one load-bearing string, no drift). */
+  private def segListSql(ringsE: String, term: String): String =
+    s"flatten(list_transform($ringsE, r -> list_transform(range(0, ${nOf("r")} - 1), i -> ($term))))"
+
+  /** The segment length expression (i, i+1 within lambda var r). */
+  private def segLenSql: String = {
+    val dx = s"(${xAt("r", "(i + 1)")} - ${xAt("r", "i")})"
+    val dy = s"(${yAt("r", "(i + 1)")} - ${yAt("r", "i")})"
+    s"SQRT($dx * $dx + $dy * $dy)"
+  }
+
   def centroidRingsSql(kindE: String, lonE: String, latE: String,
       ringsE: String): (String, String) = {
-    def segList(term: String): String =
-      s"flatten(list_transform($ringsE, r -> list_transform(range(0, ${nOf("r")} - 1), i -> ($term))))"
-    val lE = {
-      val dx = s"(${xAt("r", "(i + 1)")} - ${xAt("r", "i")})"
-      val dy = s"(${yAt("r", "(i + 1)")} - ${yAt("r", "i")})"
-      s"SQRT($dx * $dx + $dy * $dy)"
-    }
+    def segList(term: String): String = segListSql(ringsE, term)
+    val lE = segLenSql
     val sl = foldSumSql(segList(lE))
     val sx = foldSumSql(segList(s"(${xAt("r", "i")} + ${xAt("r", "(i + 1)")}) / 2 * $lE"))
     val sy = foldSumSql(segList(s"(${yAt("r", "i")} + ${yAt("r", "(i + 1)")}) / 2 * $lE"))
@@ -500,13 +507,8 @@ object GeoCols {
   /** Planar length (deg) of a multi-part polyline — twin of
     * Geo.lengthRings (the ST_Length analogue; same fold order as the
     * centroid's segment sums). */
-  def lengthRingsSql(ringsE: String): String = {
-    val dx = s"(${xAt("r", "(i + 1)")} - ${xAt("r", "i")})"
-    val dy = s"(${yAt("r", "(i + 1)")} - ${yAt("r", "i")})"
-    val lE = s"SQRT($dx * $dx + $dy * $dy)"
-    foldSumSql(
-      s"flatten(list_transform($ringsE, r -> list_transform(range(0, ${nOf("r")} - 1), i -> ($lE))))")
-  }
+  def lengthRingsSql(ringsE: String): String =
+    foldSumSql(segListSql(ringsE, segLenSql))
 
   /** Signed planar area (deg^2) over the rings model — twin of
     * Geo.areaRings (CCW shells positive, CW holes negative). */
@@ -564,18 +566,13 @@ object GeoCols {
     def pt(p: (Double, Double)): Unit = {
       sb.append('[').append(p._1).append(',').append(p._2).append(']'); ()
     }
-    def ring(r: Seq[(Double, Double)]): Unit = {
-      sb.append('[')
-      var i = 0
-      while (i < r.length) { if (i > 0) sb.append(','); pt(r(i)); i += 1 }
-      sb.append(']'); ()
-    }
     def seq[T](xs: Seq[T])(f: T => Unit): Unit = {
       sb.append('[')
       var i = 0
       while (i < xs.length) { if (i > 0) sb.append(','); f(xs(i)); i += 1 }
       sb.append(']'); ()
     }
+    def ring(r: Seq[(Double, Double)]): Unit = seq(r)(pt)
     def geom(tpe: String)(body: => Unit): String = {
       sb.append("{\"type\":\"").append(tpe).append("\",\"coordinates\":")
       body

@@ -47,9 +47,10 @@ object RowGeom {
   *    virtual call, never a janino-sized expression tree (BENCH.md finding
   *    #2's disease is structurally impossible here).
   *
-  * Null semantics: any null input → not intersecting (false, non-null) —
-  * the feature model never produces null geometry columns; a malformed row
-  * drops out of the extract instead of poisoning it. */
+  * Null semantics: null kind/lon/lat → not intersecting (false, non-null);
+  * null rings → treated as "no rings" (points never read them — same
+  * behavior as the UDF twin). A malformed row drops out of the extract
+  * instead of poisoning it. */
 final case class FeatureIntersectsRingsExpr(geom: MultiPolygon,
     kind: Expression, lon: Expression, lat: Expression, rings: Expression)
   extends Expression {
@@ -63,21 +64,31 @@ final case class FeatureIntersectsRingsExpr(geom: MultiPolygon,
     copy(kind = newChildren(0), lon = newChildren(1), lat = newChildren(2),
       rings = newChildren(3))
 
-  /** Entry shared by interpreted eval and generated code. */
+  /** Entry shared by interpreted eval and generated code. A null rings
+    * array means "no rings" (the point path never reads them — matching
+    * the UDF twin, which passed null through untouched for points); kind
+    * dispatches on cached UTF8String constants so the hot refine never
+    * allocates a String per candidate row. */
   def invoke(kindU: UTF8String, lonV: Double, latV: Double,
-      ringsA: ArrayData): Boolean =
-    graft.geo.Geo.featureIntersectsRings(geom.polys, kindU.toString,
-      lonV, latV, RowGeom.ringsView(ringsA))
+      ringsA: ArrayData): Boolean = {
+    val kindStr =
+      if (kindU.equals(FeatureIntersectsRingsExpr.PointU)) "point"
+      else if (kindU.equals(FeatureIntersectsRingsExpr.LineU)) "line"
+      else "polygon"
+    val view =
+      if (ringsA == null) FeatureIntersectsRingsExpr.NoRings
+      else RowGeom.ringsView(ringsA)
+    graft.geo.Geo.featureIntersectsRings(geom.polys, kindStr, lonV, latV, view)
+  }
 
   override def eval(input: InternalRow): Any = {
     val k = kind.eval(input)
     val lo = lon.eval(input)
     val la = lat.eval(input)
-    val r = rings.eval(input)
-    if (k == null || lo == null || la == null || r == null) false
+    if (k == null || lo == null || la == null) false
     else invoke(k.asInstanceOf[UTF8String],
       lo.asInstanceOf[Double], la.asInstanceOf[Double],
-      r.asInstanceOf[ArrayData])
+      rings.eval(input).asInstanceOf[ArrayData])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -94,10 +105,9 @@ final case class FeatureIntersectsRingsExpr(geom: MultiPolygon,
         ${latGen.code}
         ${ringsGen.code}
         boolean ${ev.value} = false;
-        if (!${kindGen.isNull} && !${lonGen.isNull} && !${latGen.isNull} &&
-            !${ringsGen.isNull}) {
+        if (!${kindGen.isNull} && !${lonGen.isNull} && !${latGen.isNull}) {
           ${ev.value} = $ref.invoke(${kindGen.value}, ${lonGen.value},
-            ${latGen.value}, ${ringsGen.value});
+            ${latGen.value}, ${ringsGen.isNull} ? null : ${ringsGen.value});
         }
       """
     ev.copy(code = resultCode,
@@ -106,6 +116,10 @@ final case class FeatureIntersectsRingsExpr(geom: MultiPolygon,
 }
 
 object FeatureIntersectsRingsExpr {
+  private val PointU = UTF8String.fromString("point")
+  private val LineU = UTF8String.fromString("line")
+  private val NoRings: scala.collection.Seq[scala.collection.Seq[Double]] = Nil
+
   /** Column wrapper for plan assembly. */
   def column(geom: MultiPolygon, kind: Column, lon: Column, lat: Column,
       rings: Column): Column =

@@ -79,7 +79,7 @@ object PlanBuilder {
 
   /** Geometry filter: coarse cover prefilter && exact kind-aware refine
     * (F1/F2/F8/F9). Points use PIP; lines/polygons the full segment/region
-    * intersection (Geo.featureIntersectsRings via the kernel UDF — the reference's real
+    * intersection (Geo.featureIntersectsRings via the native Catalyst expression — the reference's real
     * ST_Intersects over arbitrary linestring/polygon features, raw.lua:128-180).
     * For points ST_Within ≡ ST_Intersects (the useStWithin flag is kept for
     * parity, builder.py:237 vs :102).

@@ -110,11 +110,12 @@ class PlanQualitySpec extends SparkSpec {
       centroid = true)
     val df = PlanBuilder.build(images, req)
     val plan = df.queryExecution.executedPlan.toString
-    // the plan carries exactly two scala UDFs: the intersect refine kernel
-    // (Filter) and the centroid kernel (Project, once). Before the staged
-    // projection the centroid UDF appeared once per extracted coordinate.
+    // the plan carries exactly ONE scala UDF: the centroid kernel
+    // (Project, once) — the intersect refine is a native Catalyst
+    // expression now. Before the staged projection the centroid UDF
+    // appeared once per extracted coordinate.
     val udfCount = "UDF\\(".r.findAllIn(plan).length
-    assert(udfCount <= 2, s"centroid UDF duplicated in the projection ($udfCount UDF calls):\n${plan.take(3000)}")
+    assert(udfCount <= 1, s"centroid UDF duplicated in the projection ($udfCount UDF calls):\n${plan.take(3000)}")
   }
 
   test("knn releases every per-round cache; only the caller-owned result persists") {
