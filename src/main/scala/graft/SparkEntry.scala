@@ -193,7 +193,11 @@ object SparkEntry {
     val geom = MultiPolygon(Seq(Fixtures.requestPolygon))
     GeoCols.derivedFeatures(s, dir)
       .filter(col("kind") === "line")
-      .filter(size(col("rings")) > 1)
+      // part count via roles (all 0 for lines, so count == ring count):
+      // the roles generation is a few small array ops, while size(rings)
+      // would inline the full vertex-generation lambda chain into the
+      // pushed-down predicate (measured 5x on this gate at sf0.1)
+      .filter(size(filter(col("roles"), r => r === 0)) > 1)
       .filter(PlanBuilder.geometryFilter(geom, col("kind"), col("lon"),
         col("lat"), col("cell"), col("rings")))
       .select(col("image_id"), size(col("rings")).as("n_parts"),
@@ -639,7 +643,7 @@ object SparkEntry {
          |SELECT pid AS image_id, len(rings) AS n_parts,
          |  round(${GeoCols.lengthRingsSql("rings")}, 6) AS length_deg
          |FROM f
-         |WHERE kind = 'line' AND len(rings) > 1
+         |WHERE kind = 'line' AND len(list_filter(roles, x -> x = 0)) > 1
          |  AND ${GeoCols.featureIntersectsRingsSql(geom, "kind", "lon", "lat", "rings")}""".stripMargin
     },
     "geo_centroid" -> {
