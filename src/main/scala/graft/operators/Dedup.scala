@@ -35,15 +35,29 @@ object Dedup {
 
   // ---- shingling ------------------------------------------------------------
 
-  /** Distinct word-3-gram shingles (token set fallback for docs < 3 tokens). */
-  def shinglesCol(text: Column): Column = {
-    val t = split(lower(text), " ")
-    val n = size(t)
-    when(n >= 3,
-      array_distinct(transform(sequence(lit(1), n - 2), i =>
+  /** Distinct word-3-gram shingles over a PRE-BOUND token-array column
+    * (token set fallback for docs < 3 tokens).
+    *
+    * Why the binding matters (r06, guide §1.2/§4.1): higher-order-function
+    * lambdas evaluate their body per element, outside whole-stage codegen —
+    * with `split(lower(text))` inlined in the lambda, every shingle element
+    * re-split the whole document three times (measured: 4.9 s vs ~0.5 s to
+    * materialize the sf0.1 signature table). Callers project the token array
+    * to a column first, so the lambda reads an attribute. */
+  def shinglesOfToks(t: Column): Column =
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
         concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
       .otherwise(array_distinct(t))
-  }
+
+  /** Single-expression variant (identical values; the two-step bound form is
+    * the hot path). */
+  def shinglesCol(text: Column): Column = shinglesOfToks(split(lower(text), " "))
+
+  /** (doc_id, sh) with the token array bound as its own projection. */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(lower(col("text")), " ").as("_toks"))
+      .select(col("doc_id"), shinglesOfToks(col("_toks")).as("sh"))
 
   val shinglesSql: String = {
     val t = "string_split(lower(text), ' ')"
@@ -68,11 +82,43 @@ object Dedup {
     s"list_aggregate(list_transform($shingleIdsE, x -> (x * $a + $b) % $P), 'min')"
   }
 
+  /** All [[NumHashes]] minhashes over the shingle-id array in one JIT'd
+    * kernel pass — term-for-term the same Long arithmetic as [[minhashCol]]
+    * ((x·a + b) % P, min by Long compare; x < 2^32, a < 2^20 keeps x·a far
+    * from overflow), so values are identical. One compact call replaces 16
+    * interpreted per-element lambda evaluations (HOFs are CodegenFallback).
+    * Empty/null shingle sets → null array → null per-column minhashes,
+    * matching array_min's null-on-empty. */
+  private val mhAllUdf = {
+    val coefs = hashCoef.toArray
+    udf((shids: scala.collection.Seq[Long]) => {
+      if (shids == null || shids.isEmpty) null
+      else {
+        val out = new Array[Long](coefs.length)
+        var i = 0
+        while (i < coefs.length) {
+          val (a, b) = coefs(i)
+          var mn = Long.MaxValue
+          val it = shids.iterator
+          while (it.hasNext) {
+            val v = (it.next() * a + b) % P
+            if (v < mn) mn = v
+          }
+          out(i) = mn
+          i += 1
+        }
+        out
+      }
+    })
+  }
+
   /** (doc_id, shingles, mh0..mh15) — one map-side pass. */
   def signatures(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), shinglesCol(col("text")).as("sh"))
+    val base = shingled(docs)
       .withColumn("shids", transform(col("sh"), s => TextOps.tokenIdCol(s)))
-    val mhs = (0 until NumHashes).map(i => minhashCol(col("shids"), i).as(s"mh$i"))
+      .withColumn("_mharr", mhAllUdf(col("shids")))
+    val mhs = (0 until NumHashes).map(i =>
+      element_at(col("_mharr"), i + 1).as(s"mh$i"))
     base.select(col("doc_id") +: col("sh") +: mhs: _*)
   }
 
@@ -91,6 +137,10 @@ object Dedup {
     * signature width for no benefit. */
   def minhashLsh(docs: DataFrame, tau: Double = 0.5): DataFrame = {
     val sig = signatures(docs).persist()
+    // materialize the cache in one pass BEFORE the self-join builds on it:
+    // the join's two branches otherwise race to fill the lazy cache and can
+    // compute the signature partitions twice (r06 measurement)
+    sig.count()
     val bandKeys = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bkey"))
@@ -130,6 +180,10 @@ object Dedup {
     * the self-join, so the extra join reuses the same partitioning. */
   def minhashLshCapped(docs: DataFrame, tau: Double = 0.5, cap: Int = 4096): DataFrame = {
     val sig = signatures(docs).persist()
+    // materialize the cache in one pass BEFORE the self-join builds on it:
+    // the join's two branches otherwise race to fill the lazy cache and can
+    // compute the signature partitions twice (r06 measurement)
+    sig.count()
     val bandKeys = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bkey"))
@@ -221,7 +275,7 @@ object Dedup {
     * the exact-verify kernel of the LSH pipeline, oracle-checkable end to
     * end without an all-pairs blowup. */
   def jaccardAdjacent(docs: DataFrame): DataFrame = {
-    val s = docs.select(col("doc_id"), shinglesCol(col("text")).as("sh"))
+    val s = shingled(docs)
     val a = s.select(col("doc_id").as("did1"), col("sh").as("sh1"))
     val b = s.select((col("doc_id") - 1).as("did1"), col("doc_id").as("did2"), col("sh").as("sh2"))
     a.join(b, Seq("did1"))

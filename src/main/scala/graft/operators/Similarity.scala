@@ -28,11 +28,13 @@ object Similarity {
 
   val Dims = 64
 
-  /** Left-associated unrolled dot product of two array<float> columns. */
+  /** Left-associated dot product of two array<float> columns — a native
+    * kernel expression since r06 ([[graft.functions.DotProductExpr]]): the
+    * former 64-term unrolled Column tree was bit-identical but dominated
+    * janino compile and stage eval; the kernel loop accumulates in the same
+    * order (first term seeds the accumulator), so results are unchanged. */
   def dotCol(a: Column, b: Column): Column =
-    (0 until Dims).map(i =>
-      element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double"))
-      .reduce(_ + _)
+    graft.functions.DotProductExpr.column(Dims, a, b)
 
   def dotSql(aE: String, bE: String): String =
     (0 until Dims).map(i =>
@@ -98,14 +100,11 @@ object Similarity {
     Seq.fill(planes)(Array.fill(ProjDims)(rng.nextDouble() * 2 - 1))
   }
 
-  def bucketCol(e: Column, planes: Int = Planes): Column = {
-    val hp = hyperplanes(planes)
-    (0 until planes).map { j =>
-      val proj = (0 until ProjDims).map(i =>
-        element_at(e, i + 1).cast("double") * lit(hp(j)(i))).reduce(_ + _)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** Native kernel since r06 ([[graft.functions.SignBucketExpr]]) — same
+    * per-plane left-associated projection and sign test as the former
+    * planes×ProjDims Column tree, one JIT'd call per row. */
+  def bucketCol(e: Column, planes: Int = Planes): Column =
+    graft.functions.SignBucketExpr.column(hyperplanes(planes).toArray, e)
 
   def bucketSql(eE: String, planes: Int = Planes): String = {
     val hp = hyperplanes(planes)

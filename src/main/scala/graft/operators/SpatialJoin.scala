@@ -84,17 +84,49 @@ object SpatialJoin {
     val joined = withCell.join(broadcast(cover), Seq("cell"), "left")
     val matched = !col("refine") ||
       pipRefineUdf(regions)(col("cid"), col("lon"), col("lat"))
-    val aggs = sort_array(collect_set(col("cid_ok"))).as("cid_arr") +:
-      keep.map(c => first(col(c)).as(c))
-    joined
+    val withOk = joined
       .withColumn("cid_ok", when(col("cid").isNotNull && matched, col("cid")))
-      .groupBy(col("pid"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(
-        (col("pid") +:
-          when(size(col("cid_arr")) === 0, lit("0"))
-            .otherwise(array_join(col("cid_arr"), ",")).as("cids") +:
-          keep.map(col)): _*)
+    // r06 (guide §2.3 — narrower agg state): when every catalog cid fits in
+    // one long, aggregate a BITMASK with bit_or (declarative HashAggregate,
+    // 8-byte partial state) instead of sort_array(collect_set(...)) (object
+    // agg, array state) and decode the ascending id list from the bits —
+    // identical `cids` strings. The collect_set path stays for catalogs with
+    // ids outside [0, 63].
+    val smallIds = regions.nonEmpty &&
+      regions.forall(r => r.cid >= 0 && r.cid <= 62)
+    if (smallIds) {
+      val maxCid = regions.map(_.cid).max
+      // NOTE: element_at with a NULLABLE index is unsafe here — its codegen
+      // evaluates with the -1 default placeholder when the index is null
+      // (observed: null cid_ok → last array element, non-null) — so the mask
+      // term uses SQL shiftleft (null-safe binary op: null cid_ok → null →
+      // skipped by bit_or). The decode's element_at index is a sequence
+      // lambda var, never null.
+      val pow2 = array((0 to maxCid).map(c => lit(1L << c)): _*)
+      val aggs = bit_or(expr("shiftleft(CAST(1 AS BIGINT), cid_ok)"))
+        .as("cid_mask") +: keep.map(c => first(col(c)).as(c))
+      val ids = filter(sequence(lit(0), lit(maxCid)),
+        c => col("cid_mask").bitwiseAND(element_at(pow2, c + 1)) =!= lit(0L))
+      withOk
+        .groupBy(col("pid"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(
+          (col("pid") +:
+            when(col("cid_mask").isNull, lit("0"))
+              .otherwise(array_join(ids, ",")).as("cids") +:
+            keep.map(col)): _*)
+    } else {
+      val aggs = sort_array(collect_set(col("cid_ok"))).as("cid_arr") +:
+        keep.map(c => first(col(c)).as(c))
+      withOk
+        .groupBy(col("pid"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(
+          (col("pid") +:
+            when(size(col("cid_arr")) === 0, lit("0"))
+              .otherwise(array_join(col("cid_arr"), ",")).as("cids") +:
+            keep.map(col)): _*)
+    }
   }
 
   /** DuckDB oracle for [[assignRegions]] — brute-force per-region raycast

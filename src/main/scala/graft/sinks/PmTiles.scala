@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * bounded window — tile_contents < addressed_tiles, as tippecanoe writes
   * planet archives).
   *
-  * Tile payloads here are gzip GeoJSON FeatureCollections (tile_type 0x00 =
-  * unspecified; the spec allows non-MVT payloads) — the engine's tile
-  * CONTENT is its extract rows, the archive layout is what's format-bound.
+  * Tile payloads on the default export-matrix path are gzip MVT
+  * (tile_type 0x01 via [[writeMvt]] — tippecanoe output parity). The
+  * payload-agnostic [[write]] entry keeps gzip GeoJSON FeatureCollections
+  * (tile_type 0x00 = unspecified, allowed by the spec) for the
+  * archive-layout tests.
   *
   * The heavy work (tile assignment, per-tile feature grouping) is the
   * distributed plan; this writer streams the per-tile groups on the driver —
