@@ -27,5 +27,13 @@ javaOptions ++= sys.env.get("GRAFT_XOPTS").toSeq.flatMap(_.split(" ").filter(_.n
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // JVM (not ICU) case mappings for UTF8_BINARY lower/upper: identical
+  // results on this corpus (ASCII fixtures and oracle — see
+  // TextOps.BpePattern note), and it removes a ~1.9 s one-time ICU data
+  // initialization that the first lower()-using query pays per JVM
+  // (profiled r06: CollationSupport$Lower.execBinaryICU dominating the
+  // first string-case query). Flip back for non-ASCII corpora where ICU's
+  // locale-independent case mapping is wanted.
+  "-Dspark.sql.icu.caseMappings.enabled=false",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -82,32 +82,48 @@ object Dedup {
     s"list_aggregate(list_transform($shingleIdsE, x -> (x * $a + $b) % $P), 'min')"
   }
 
-  /** All [[NumHashes]] minhashes over the shingle-id array in one JIT'd
-    * kernel pass — term-for-term the same Long arithmetic as [[minhashCol]]
-    * ((x·a + b) % P, min by Long compare; x < 2^32, a < 2^20 keeps x·a far
-    * from overflow), so values are identical. One compact call replaces 16
-    * interpreted per-element lambda evaluations (HOFs are CodegenFallback).
-    * Empty/null shingle sets → null array → null per-column minhashes,
-    * matching array_min's null-on-empty. */
-  private val mhAllUdf = {
+  /** All [[NumHashes]] minhashes straight from the shingle strings in one
+    * JIT'd kernel pass — term-for-term identical to
+    * `transform(sh, tokenIdCol)` + [[minhashCol]] per i:
+    *  - token id = the first 8 hex chars of md5 parsed base-16, i.e. the
+    *    digest's first 4 bytes as an unsigned 32-bit value (same UTF-8
+    *    bytes in, same digest, same value out);
+    *  - minhash_i = min over (x·a_i + b_i) % P by Long compare (x < 2^32,
+    *    a < 2^20 keeps x·a far from overflow);
+    *  - null/empty shingle sets (and all-null elements) → null array →
+    *    null per-column minhashes, matching array_min's null-on-empty and
+    *    null-skipping.
+    * One compact call replaces 16 interpreted per-element minhash lambdas
+    * PLUS the interpreted per-shingle md5/conv lambda (HOFs are
+    * CodegenFallback; the md5 pass alone was ~0.9 s of the sf0.1 signature
+    * materialization). */
+  private val mhFromShUdf = {
     val coefs = hashCoef.toArray
-    udf((shids: scala.collection.Seq[Long]) => {
-      if (shids == null || shids.isEmpty) null
+    udf((sh: scala.collection.Seq[String]) => {
+      if (sh == null || sh.isEmpty) null
       else {
-        val out = new Array[Long](coefs.length)
-        var i = 0
-        while (i < coefs.length) {
-          val (a, b) = coefs(i)
-          var mn = Long.MaxValue
-          val it = shids.iterator
-          while (it.hasNext) {
-            val v = (it.next() * a + b) % P
-            if (v < mn) mn = v
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val mins = Array.fill(coefs.length)(Long.MaxValue)
+        var any = false
+        val it = sh.iterator
+        while (it.hasNext) {
+          val s = it.next()
+          if (s != null) {
+            any = true
+            md.reset()
+            val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val x = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            var i = 0
+            while (i < coefs.length) {
+              val (a, b) = coefs(i)
+              val v = (x * a + b) % P
+              if (v < mins(i)) mins(i) = v
+              i += 1
+            }
           }
-          out(i) = mn
-          i += 1
         }
-        out
+        if (!any) null else mins
       }
     })
   }
@@ -115,8 +131,7 @@ object Dedup {
   /** (doc_id, shingles, mh0..mh15) — one map-side pass. */
   def signatures(docs: DataFrame): DataFrame = {
     val base = shingled(docs)
-      .withColumn("shids", transform(col("sh"), s => TextOps.tokenIdCol(s)))
-      .withColumn("_mharr", mhAllUdf(col("shids")))
+      .withColumn("_mharr", mhFromShUdf(col("sh")))
     val mhs = (0 until NumHashes).map(i =>
       element_at(col("_mharr"), i + 1).as(s"mh$i"))
     base.select(col("doc_id") +: col("sh") +: mhs: _*)
