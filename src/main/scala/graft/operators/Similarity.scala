@@ -285,8 +285,11 @@ object Similarity {
     * sorted by id — K×Dims doubles, legitimately driver-sized. */
   def trainCentroids(emb: DataFrame, k: Int = DefaultK,
       sampleMod: Int = SampleMod, iters: Int = Iters): Seq[(Int, Array[Double])] = {
+    // bounded by construction (~targetSample rows) and scanned once per
+    // Lloyd round plus once for init — cache it for the training loop and
+    // release before returning (r06; the persist is training-local)
     val samp = emb.filter(col("vec_id") % sampleMod === 0)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding")).persist()
     var cents: Seq[(Int, Array[Double])] = samp
       .filter(col("vec_id") < k.toLong * sampleMod)
       .select((col("vec_id") / sampleMod).cast("int").as("c"), col("embedding"))
@@ -304,6 +307,7 @@ object Similarity {
         .map(r => (r.getInt(0), (1 to Dims).map(r.getDouble).toArray))
         .sortBy(_._1)
     }
+    samp.unpersist()
     cents
   }
 

@@ -52,6 +52,21 @@ object SpatialJoin {
       graft.geo.Geo.pointInPolygon(lon, lat, catalog(cid)))
   }
 
+  /** Refine predicate as a native expression when the catalog is densely
+    * array-indexable by cid (r06: the UDF boundary boxed three primitives
+    * and hash-looked-up the polygon per joined row; RegionRefineExpr is one
+    * generated call into the same kernel). Falls back to the UDF for
+    * sparse/negative id domains. */
+  private def refineCol(regions: Seq[Fixtures.Region])(
+      cid: Column, lon: Column, lat: Column): Column = {
+    val maxCid = regions.map(_.cid).max
+    if (regions.forall(_.cid >= 0) && maxCid <= (1 << 20)) {
+      val arr = new Array[Polygon](maxCid + 1)
+      regions.foreach(r => arr(r.cid) = r.poly)
+      graft.functions.RegionRefineExpr.column(arr, cid, lon, lat)
+    } else pipRefineUdf(regions)(cid, lon, lat)
+  }
+
   /** points: (pid: Long, lon: Double, lat: Double) → (pid, cids: String)
     * where cids = comma-joined ascending region ids, "0" when none
     * (reference default `'{0}'`, backend/sql/pre_indexes.sql). */
@@ -83,7 +98,7 @@ object SpatialJoin {
       else points.withColumn("cell", GeoCols.cellCol(res, col("lon"), col("lat")))
     val joined = withCell.join(broadcast(cover), Seq("cell"), "left")
     val matched = !col("refine") ||
-      pipRefineUdf(regions)(col("cid"), col("lon"), col("lat"))
+      refineCol(regions)(col("cid"), col("lon"), col("lat"))
     val withOk = joined
       .withColumn("cid_ok", when(col("cid").isNotNull && matched, col("cid")))
     // r06 (guide §2.3 — narrower agg state): when every catalog cid fits in
@@ -190,7 +205,7 @@ object SpatialJoin {
 
     val joined = fact.join(cover, Seq("cell", "salt"), "left")
     val matched = !col("refine") ||
-      pipRefineUdf(regions)(col("cid"), col("lon"), col("lat"))
+      refineCol(regions)(col("cid"), col("lon"), col("lat"))
     joined
       .withColumn("cid_ok", when(col("cid").isNotNull && matched, col("cid")))
       .groupBy(col("pid"))
